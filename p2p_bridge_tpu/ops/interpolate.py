@@ -1,0 +1,61 @@
+"""3-nearest-neighbor inverse-distance feature interpolation.
+
+TPU-native equivalent of the CUDA ``three_nearest_neighbors_interpolate``
+(reference: third_party/pvcnn/functional/src/interpolate/neighbor_interpolate.cu,
+wrapper third_party/openpoints/models/layers/interpolatation.py:8-42).
+
+Weight semantics match the kernel (neighbor_interpolate.cu:60-73):
+  d_i clamped to [1e-10, 1e10], w_i = (d_j * d_k) / (d0*d1 + d0*d2 + d1*d2)
+i.e. inverse-distance weights normalized to sum to 1.
+
+Backward is autodiff (gather/scatter transpose of the weighted gather),
+matching the CUDA backward's atomic adds.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .common import pairwise_sqdist
+from .grouping import group
+
+
+def three_nn(
+    points: jnp.ndarray, centers: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """3 nearest centers for each point.
+
+    Args:
+      points: [B, N, 3] target (fine) coordinates.
+      centers: [B, M, 3] source (coarse) coordinates.
+    Returns:
+      (weights [B, N, 3] float32, indices [B, N, 3] int32)
+    """
+    d2 = pairwise_sqdist(points, centers)  # [B, N, M]
+    neg_d, idx = jax.lax.top_k(-d2, 3)  # 3 smallest distances
+    d = jnp.clip(-neg_d, 1e-10, 1e10)  # [B, N, 3]
+    d0, d1, d2_ = d[..., 0], d[..., 1], d[..., 2]
+    denom = d0 * d1 + d0 * d2_ + d1 * d2_
+    w = jnp.stack([d1 * d2_, d0 * d2_, d0 * d1], axis=-1) / denom[..., None]
+    return w, idx.astype(jnp.int32)
+
+
+def nearest_neighbor_interpolate(
+    points: jnp.ndarray, centers: jnp.ndarray, features: jnp.ndarray
+) -> jnp.ndarray:
+    """Upsample coarse features onto fine points via 3-NN IDW.
+
+    Args:
+      points: [B, N, 3] fine coords.
+      centers: [B, M, 3] coarse coords.
+      features: [B, M, C] coarse features.
+    Returns:
+      [B, N, C] interpolated features.
+    """
+    w, idx = three_nn(points, centers)
+    w = jax.lax.stop_gradient(w)
+    neighbors = group(features, idx)  # [B, N, 3, C]
+    return jnp.sum(neighbors * w[..., None].astype(neighbors.dtype), axis=2)

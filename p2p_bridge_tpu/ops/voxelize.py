@@ -1,0 +1,95 @@
+"""Average voxelization: scatter-mean point features into an r^3 grid.
+
+TPU-native equivalent of the CUDA ``avg_voxelize`` extension
+(reference: third_party/pvcnn/functional/src/voxelization/vox.cu:18-126,
+python wrapper third_party/openpoints/models/layers/voxelization.py:8-42).
+
+Semantics (matching the CUDA kernel exactly):
+  * flat index = x*r^2 + y*r + z from integer voxel coords,
+  * per-voxel feature sum and point count via atomic adds,
+  * output = sum / max(count, 1)  (empty voxels -> 0),
+  * backward scatters grad/count back to contributing points.
+
+Here the forward is an XLA scatter-add (deterministic on TPU, unlike the
+CUDA atomics) and the backward falls out of autodiff: the division by the
+(stop-gradiented) count followed by the gather-transpose-of-scatter
+reproduces the CUDA backward (vox.cu:55-79).
+
+Layout: features [B, N, C], coords int32 [B, N, 3] -> grid [B, r, r, r, C]
+(channels-last, the TPU-preferred conv layout).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def flat_voxel_index(vox_coords: jnp.ndarray, resolution: int) -> jnp.ndarray:
+    """[..., 3] int voxel coords -> flat index x*r^2 + y*r + z (vox.cu:40)."""
+    r = resolution
+    return (
+        vox_coords[..., 0] * (r * r) + vox_coords[..., 1] * r + vox_coords[..., 2]
+    )
+
+
+def avg_voxelize(
+    features: jnp.ndarray, vox_coords: jnp.ndarray, resolution: int
+) -> jnp.ndarray:
+    """Scatter-mean features into a voxel grid.
+
+    Args:
+      features: [B, N, C] point features.
+      vox_coords: [B, N, 3] int32 voxel coordinates in [0, r-1].
+      resolution: grid resolution r.
+    Returns:
+      [B, r, r, r, C] voxel grid of per-voxel feature means.
+    """
+    B, N, C = features.shape
+    r = resolution
+    idx = flat_voxel_index(vox_coords, r)  # [B, N]
+
+    def one_batch(feat, flat):
+        # float32 accumulation regardless of activation dtype (the CUDA
+        # wrapper custom_fwd-casts to fp32: voxelization.py:10)
+        acc = jnp.zeros((r * r * r, C), jnp.float32).at[flat].add(
+            feat.astype(jnp.float32)
+        )
+        cnt = jnp.zeros((r * r * r,), jnp.float32).at[flat].add(1.0)
+        cnt = jax.lax.stop_gradient(jnp.maximum(cnt, 1.0))
+        return acc / cnt[:, None]
+
+    grid = jax.vmap(one_batch)(features, idx)  # [B, r^3, C]
+    return grid.reshape(B, r, r, r, C).astype(features.dtype)
+
+
+def normalize_coords_to_voxels(
+    coords: jnp.ndarray, resolution: int, normalize: bool = True, eps: float = 0.0
+):
+    """Normalize point coords into the voxel cube and quantize.
+
+    Port of Voxelization.forward's coordinate math
+    (reference: models/pvcnn.py:215-231):
+      centered = coords - mean
+      if normalize: centered / (2 * max_point_norm + eps) + 0.5
+      else:         (centered + 1) / 2
+      scaled = clamp(centered * r, 0, r - 1)
+      vox = round(scaled)
+
+    Args:
+      coords: [B, N, 3] float point coordinates.
+    Returns:
+      (vox_coords int32 [B, N, 3], norm_coords float32 [B, N, 3])
+      norm_coords are the *clamped continuous* coords fed to devoxelize.
+    """
+    coords = jax.lax.stop_gradient(coords.astype(jnp.float32))
+    centered = coords - jnp.mean(coords, axis=1, keepdims=True)
+    if normalize:
+        norm = jnp.linalg.norm(centered, axis=-1, keepdims=True)  # [B, N, 1]
+        max_norm = jnp.max(norm, axis=1, keepdims=True)  # [B, 1, 1]
+        centered = centered / (max_norm * 2.0 + eps) + 0.5
+    else:
+        centered = (centered + 1.0) / 2.0
+    scaled = jnp.clip(centered * resolution, 0.0, resolution - 1.0)
+    vox = jnp.round(scaled).astype(jnp.int32)
+    return vox, scaled
