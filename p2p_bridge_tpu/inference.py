@@ -1,0 +1,75 @@
+"""Patch-based object denoising (shared by denoise_object.py and
+evaluate_objects.py CLIs).
+
+Port of reference evaluate_objects.py:70-128 / denoise_object.py:64-122:
+FPS seeds -> kNN patches -> joint normalization -> batched bridge
+sampling -> FPS back down to N points. All patches run as ONE batched
+scan-sampler call (the reference also batches them, :107-109), so the
+whole object denoise is a single XLA program per (N, patch_size) shape.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .ops import furthest_point_sample, knn
+
+
+def patch_based_denoise(
+    bridge,
+    params,
+    pcl_noisy: np.ndarray,
+    patch_size: int = 2048,
+    seed_k: int = 3,
+    steps: int = 5,
+    clip_denoise: bool = False,
+    save_intermediate: bool = False,
+) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+    """Denoise one normalized object cloud.
+
+    Args:
+      bridge: P2PBridge; params: backbone params (EMA pytree for use_ema).
+      pcl_noisy: [N, 3] (already unit-sphere normalized).
+    Returns:
+      (denoised [N, 3], steps [T, N, 3] or None)
+    """
+    pcl = jnp.asarray(pcl_noisy, jnp.float32)[None]  # [1, N, 3]
+    N = pcl.shape[1]
+    num_seeds = int(seed_k * N / patch_size)
+
+    seed_idx = furthest_point_sample(pcl, num_seeds)  # [1, S]
+    seeds = jnp.take_along_axis(pcl, seed_idx[..., None], axis=1)  # [1, S, 3]
+    _, idx = knn(seeds, pcl, patch_size)  # [1, S, K]
+    patches = pcl[0][idx[0]]  # [S, K, 3]
+
+    # joint normalization: per-patch center, single global scale
+    # (evaluate_objects.py:103-106)
+    centers = jnp.mean(patches, axis=1, keepdims=True)
+    patches = patches - centers
+    scale = jnp.max(jnp.linalg.norm(patches, axis=-1))
+    patches = patches / scale
+
+    out = bridge.sample(
+        params, patches, steps=steps, clip_denoise=clip_denoise, log_count=steps
+    )
+
+    denoised = out["x_pred"] * scale + centers  # [S, K, 3]
+    flat = denoised.reshape(1, -1, 3)
+    fps_idx = furthest_point_sample(flat, N)
+    pcl_denoised = np.asarray(jnp.take_along_axis(flat, fps_idx[..., None], axis=1)[0])
+
+    steps_denoised = None
+    if save_intermediate:
+        chain = out["x_chain"] * scale + centers[:, None]  # [S, T, K, 3]
+        chain = jnp.moveaxis(chain, 1, 0)  # [T, S, K, 3]
+        T = chain.shape[0]
+        chain = chain.reshape(T, -1, 3)
+        cidx = furthest_point_sample(chain, N)
+        steps_denoised = np.asarray(
+            jnp.take_along_axis(chain, cidx[..., None], axis=1)
+        )
+    return pcl_denoised, steps_denoised

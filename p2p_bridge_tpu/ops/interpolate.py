@@ -34,8 +34,16 @@ def three_nn(
     Returns:
       (weights [B, N, 3] float32, indices [B, N, 3] int32)
     """
+    M = centers.shape[1]
     d2 = pairwise_sqdist(points, centers)  # [B, N, M]
-    neg_d, idx = jax.lax.top_k(-d2, 3)  # 3 smallest distances
+    neg_d, idx = jax.lax.top_k(-d2, min(3, M))  # 3 smallest distances
+    if M < 3:
+        # fewer than 3 centers: the CUDA kernel leaves unfound slots at
+        # index 0 with distance 1e40 -> clamped to 1e10
+        # (neighbor_interpolate.cu:37-62)
+        pad = 3 - M
+        neg_d = jnp.pad(neg_d, ((0, 0), (0, 0), (0, pad)), constant_values=-1e10)
+        idx = jnp.pad(idx, ((0, 0), (0, 0), (0, pad)))
     d = jnp.clip(-neg_d, 1e-10, 1e10)  # [B, N, 3]
     d0, d1, d2_ = d[..., 0], d[..., 1], d[..., 2]
     denom = d0 * d1 + d0 * d2_ + d1 * d2_

@@ -1,0 +1,180 @@
+"""The jitted training step.
+
+TPU-native replacement of the reference hot loop (train.py:106-140):
+AMP GradScaler + DDP allreduce + clip + Adam step + EMA become one XLA
+program. Gradient accumulation is a lax.scan over microbatches
+(train.py:115-129); the data-parallel psum is inserted by XLA from the
+batch sharding (parallel/mesh.py). bf16 needs no loss scaling on TPU.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..utils.ema import EmaState, ema_init, ema_update
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    ema: Optional[EmaState]
+    step: jnp.ndarray  # int32
+
+
+def make_optimizer(cfg) -> optax.GradientTransformation:
+    """Adam/AdamW + scheduler from the training config
+    (reference: models/model_loader.py:13-61).
+
+    Note: grad clipping is applied inside the train step (before the
+    optimizer), matching clip_grad_norm_ at train.py:131-133.
+    """
+    opt_cfg = cfg.training.optimizer
+    sched_cfg = cfg.training.scheduler
+    base_lr = float(opt_cfg.lr)
+
+    sched_type = sched_cfg.get("type", "constant")
+    if sched_type == "ExponentialLR":
+        schedule = optax.exponential_decay(
+            base_lr, transition_steps=1, decay_rate=float(sched_cfg.lr_gamma)
+        )
+    elif sched_type == "StepLR":
+        # torch StepLR(step_size=10_000, gamma=0.9) (model_loader.py:50)
+        schedule = optax.exponential_decay(
+            base_lr, transition_steps=10_000, decay_rate=0.9, staircase=True
+        )
+    else:
+        schedule = base_lr
+
+    kind = opt_cfg.get("type", "AdamW")
+    kwargs = dict(
+        learning_rate=schedule,
+        b1=float(opt_cfg.get("beta1", 0.9)),
+        b2=float(opt_cfg.get("beta2", 0.999)),
+    )
+    if kind == "Adam":
+        # torch Adam's weight_decay is L2-added-to-grad, not decoupled
+        opt = optax.chain(
+            optax.add_decayed_weights(float(opt_cfg.get("weight_decay", 0.0))),
+            optax.adam(**kwargs),
+        )
+    elif kind == "AdamW":
+        opt = optax.adamw(
+            weight_decay=float(opt_cfg.get("weight_decay", 0.0)), **kwargs
+        )
+    else:
+        raise NotImplementedError(kind)
+    return opt
+
+
+def init_train_state(params, optimizer, use_ema: bool = True) -> TrainState:
+    return TrainState(
+        params=params,
+        opt_state=optimizer.init(params),
+        ema=ema_init(params) if use_ema else None,
+        step=jnp.int32(0),
+    )
+
+
+def make_train_step(
+    bridge,
+    optimizer: optax.GradientTransformation,
+    grad_clip: Optional[float] = 1.0,
+    accumulation_steps: int = 1,
+    ema_decay: float = 0.999,
+):
+    """Build the jittable train step.
+
+    The returned function maps
+      (state, rng, batch={x_gt, x_start, x_cond}) -> (state, metrics)
+    where each batch leaf is [accum * B, N, C]; with accumulation the
+    leading axis is split and scanned (microbatch semantics identical to
+    train.py:115-129: losses averaged, grads summed/averaged).
+    """
+
+    def loss_for(params, rng, batch):
+        return bridge.loss_fn(
+            params,
+            rng,
+            batch["x_gt"],
+            batch["x_start"],
+            batch.get("x_cond"),
+            train=True,
+        )
+
+    def train_step(state: TrainState, rng, batch):
+        rng = jax.random.fold_in(rng, state.step)
+
+        if accumulation_steps > 1:
+            def split(x):
+                return x.reshape(
+                    (accumulation_steps, x.shape[0] // accumulation_steps)
+                    + x.shape[1:]
+                )
+
+            micro = {k: split(v) for k, v in batch.items() if v is not None}
+            rngs = jax.random.split(rng, accumulation_steps)
+
+            def scan_body(carry, inp):
+                loss_sum, grad_sum = carry
+                r, mb = inp
+                loss, grads = jax.value_and_grad(loss_for)(state.params, r, mb)
+                return (
+                    loss_sum + loss,
+                    jax.tree.map(jnp.add, grad_sum, grads),
+                ), None
+
+            zero_grads = jax.tree.map(jnp.zeros_like, state.params)
+            (loss_sum, grad_sum), _ = jax.lax.scan(
+                scan_body, (0.0, zero_grads), (rngs, micro)
+            )
+            loss = loss_sum / accumulation_steps
+            grads = jax.tree.map(lambda g: g / accumulation_steps, grad_sum)
+        else:
+            loss, grads = jax.value_and_grad(loss_for)(state.params, rng, batch)
+
+        grad_norm = optax.global_norm(grads)
+        if grad_clip is not None:
+            scale = jnp.minimum(1.0, grad_clip / (grad_norm + 1e-6))
+            grads = jax.tree.map(lambda g: g * scale, grads)
+
+        updates, new_opt_state = optimizer.update(
+            grads, state.opt_state, state.params
+        )
+        new_params = optax.apply_updates(state.params, updates)
+
+        new_ema = state.ema
+        if state.ema is not None:
+            new_ema = ema_update(state.ema, new_params, beta=ema_decay)
+
+        param_norm = optax.global_norm(new_params)
+        metrics = {
+            "loss": loss,
+            "grad_norm": grad_norm,
+            "param_norm": param_norm,
+        }
+        return (
+            TrainState(new_params, new_opt_state, new_ema, state.step + 1),
+            metrics,
+        )
+
+    return train_step
+
+
+def jit_train_step(train_step, mesh):
+    """jit with data-parallel shardings: state replicated, batch sharded
+    on its leading axis. XLA emits the gradient psum over ICI."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    return jax.jit(
+        train_step,
+        in_shardings=(repl, repl, data),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,),
+    )

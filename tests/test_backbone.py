@@ -1,0 +1,173 @@
+"""Backbone architecture tests.
+
+Param-count goldens were extracted by instantiating the REFERENCE torch
+model on CPU (with its CUDA extension stubbed) from the shipped YAML
+configs — see SURVEY.md §2.3. Exact equality pins the whole
+create_sa_components/create_fp_components channel bookkeeping.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from p2p_bridge_tpu.models.pvcnn import build_pvcnn2_plan
+from p2p_bridge_tpu.models.unet_pvc import PVCNN2Unet, build_unet_from_config
+from p2p_bridge_tpu.utils.config import Config
+
+PUNET_CFG = {
+    "data": {"npoints": 2048},
+    "model": {
+        "in_dim": 3, "extra_feature_channels": 0, "out_dim": 3,
+        "time_embed_dim": 64, "dropout": 0.15,
+        "PVD": {
+            "use_global_embedding": True, "global_embedding_dim": 1024,
+            "feat_embed_dim": 32, "attention_type": "linear",
+            "attention_heads": 4, "attentions": [0, 0, 0, 1],
+            "channels": [32, 64, 128, 256, 512],
+            "voxel_resolutions": [32, 16, 8, 8],
+            "n_sa_blocks": [1, 2, 1, 1], "n_fp_blocks": [1, 2, 1, 1],
+            "radius": [0.1, 0.2, 0.4, 0.8], "out_mlp": 128,
+        },
+    },
+}
+
+SNPP_CFG = {
+    "data": {"npoints": 4096},
+    "model": {
+        "in_dim": 3, "extra_feature_channels": 384, "out_dim": 3,
+        "time_embed_dim": 64, "dropout": 0.1,
+        "PVD": {
+            "use_global_embedding": True, "global_embedding_dim": 1024,
+            "feat_embed_dim": 64, "attention_type": "linear",
+            "attention_heads": 12, "attentions": [0, 0, 0, 1],
+            "channels": [64, 128, 256, 512, 1024],
+            "voxel_resolutions": [32, 16, 8, 8],
+            "n_sa_blocks": [2, 3, 2, 2], "n_fp_blocks": [2, 3, 2, 2],
+            "radius": [0.1, 0.2, 0.4, 0.8], "out_mlp": 128,
+        },
+    },
+}
+
+
+def count_params(model, npoints, extra):
+    x = jax.ShapeDtypeStruct((2, npoints, 3), jnp.float32)
+    xc = jax.ShapeDtypeStruct((2, npoints, extra), jnp.float32) if extra else None
+    t = jax.ShapeDtypeStruct((2,), jnp.float32)
+    init = functools.partial(model.init, deterministic=True)
+    shapes = jax.eval_shape(init, {"params": jax.random.key(0)}, x, t, xc)
+    return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(shapes))
+
+
+def test_plan_punet_channels():
+    """Hand-derived channel accounting for PVDS_PUNet (SURVEY.md §2.3)."""
+    plan = build_pvcnn2_plan(
+        npoints=2048, channels=[32, 64, 128, 256, 512],
+        n_sa_blocks=[1, 2, 1, 1], n_fp_blocks=[1, 2, 1, 1],
+        radius=[0.1, 0.2, 0.4, 0.8], voxel_resolutions=[32, 16, 8, 8],
+        extra_feature_channels=32, embed_dim=64,
+    )
+    s = plan.sa_stages
+    assert [st.sa.num_centers for st in s] == [512, 128, 32, 8]
+    # stage 0: PVConv(35->32, r32); SA in 32 (temb consumed by conv? no conv
+    # temb at stage 0), mlp [32, 64]
+    assert s[0].convs == ((35, 32, 32, False),) or (
+        s[0].convs[0].in_channels, s[0].convs[0].out_channels,
+        s[0].convs[0].resolution) == (35, 32, 32)
+    assert s[0].sa.in_channels == 32 and s[0].sa.mlp_channels == (32, 64)
+    assert not s[0].concat_temb
+    # stage 1: single PVConv despite n_sa_blocks=2 (reference quirk)
+    assert len(s[1].convs) == 1
+    assert (s[1].convs[0].in_channels, s[1].convs[0].out_channels) == (64 + 64, 64)
+    assert s[1].sa.in_channels == 64 and s[1].sa.mlp_channels == (64, 128)
+    # stage 2
+    assert (s[2].convs[0].in_channels, s[2].convs[0].out_channels) == (128 + 64, 128)
+    assert s[2].sa.mlp_channels == (128, 256)
+    # stage 3: no convs, temb folded into SA input
+    assert s[3].convs == ()
+    assert s[3].sa.in_channels == 256 + 64
+    assert s[3].sa.mlp_channels == (256, 256, 512)
+    assert plan.bottleneck_channels == 512
+    # FP stages
+    f = plan.fp_stages
+    assert f[0].fp.in_channels == 512 + 256 + 64
+    assert f[0].fp.mlp_channels == (256, 256)
+    assert len(f[0].convs) == 1 and f[0].convs[0].resolution == 8
+    assert f[1].fp.in_channels == 256 + 128 + 64
+    assert len(f[1].convs) == 1  # n_fp_blocks[2] == 1
+    assert f[2].fp.in_channels == 256 + 64 + 64
+    assert f[2].fp.mlp_channels == (256, 128)
+    assert len(f[2].convs) == 2  # n_fp_blocks[1] == 2
+    assert f[3].fp.in_channels == 128 + 35 + 64
+    assert f[3].fp.mlp_channels == (128, 128, 64)
+    assert len(f[3].convs) == 1 and f[3].convs[0].resolution == 32
+    assert plan.skip_channels == (35, 64, 128, 256)
+
+
+def test_param_count_matches_reference_punet():
+    cfg = Config(PUNET_CFG)
+    model = build_unet_from_config(cfg)
+    assert count_params(model, 2048, 0) == 26_441_155
+
+
+def test_param_count_matches_reference_snpp():
+    cfg = Config(SNPP_CFG)
+    model = build_unet_from_config(cfg)
+    assert count_params(model, 4096, 384) == 118_666_115
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    """Small config for actually-compiled forward tests."""
+    cfg = Config(
+        {
+            "data": {"npoints": 256},
+            "model": {
+                "in_dim": 3, "extra_feature_channels": 0, "out_dim": 3,
+                "time_embed_dim": 16, "dropout": 0.1,
+                "PVD": {
+                    "use_global_embedding": True, "global_embedding_dim": 64,
+                    "feat_embed_dim": 8, "attention_type": "linear",
+                    "attention_heads": 2, "attentions": [0, 0, 0, 1],
+                    "channels": [8, 8, 16, 16, 32],
+                    "voxel_resolutions": [8, 4, 4, 4],
+                    "n_sa_blocks": [1, 1, 1, 1], "n_fp_blocks": [1, 1, 1, 1],
+                    "radius": [0.2, 0.4, 0.8, 1.2], "out_mlp": 16,
+                },
+            },
+        }
+    )
+    model = build_unet_from_config(cfg)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 256, 3)), jnp.float32)
+    t = jnp.array([1.0, 500.0])
+    variables = model.init(
+        {"params": jax.random.key(0)}, x, t, None, True
+    )
+    return model, variables, x, t
+
+
+def test_forward_shape_and_finite(tiny_model):
+    model, variables, x, t = tiny_model
+    out = model.apply(variables, x, t, None, True)
+    assert out.shape == (2, 256, 3)
+    assert bool(jnp.isfinite(out).all())
+
+
+def test_forward_depends_on_time(tiny_model):
+    model, variables, x, t = tiny_model
+    o1 = model.apply(variables, x, jnp.array([1.0, 1.0]), None, True)
+    o2 = model.apply(variables, x, jnp.array([900.0, 900.0]), None, True)
+    assert not np.allclose(np.asarray(o1), np.asarray(o2), atol=1e-5)
+
+
+def test_dropout_rng_changes_training_output(tiny_model):
+    model, variables, x, t = tiny_model
+    o1 = model.apply(
+        variables, x, t, None, False, rngs={"dropout": jax.random.key(1)}
+    )
+    o2 = model.apply(
+        variables, x, t, None, False, rngs={"dropout": jax.random.key(2)}
+    )
+    assert not np.allclose(np.asarray(o1), np.asarray(o2), atol=1e-6)
