@@ -47,13 +47,16 @@ def main():
     pcl = rng.normal(size=(N, 3)).astype(np.float32)
     pcl /= np.linalg.norm(pcl, axis=1, keepdims=True).max()
 
-    params = model.init(
-        {"params": jax.random.key(0)},
-        jnp.zeros((1, cfg.data.npoints, 3)),
-        jnp.zeros((1,)),
-        None,
-        True,
+    init = jax.jit(
+        lambda k: model.init(
+            {"params": k},
+            jnp.zeros((1, cfg.data.npoints, 3)),
+            jnp.zeros((1,)),
+            None,
+            True,
+        )
     )
+    params = init(jax.random.key(0))
 
     def run():
         out, _ = patch_based_denoise(

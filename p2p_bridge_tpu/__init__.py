@@ -16,3 +16,16 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+if _os.environ.get("P2PB_PLATFORM"):
+    # this image's sitecustomize force-registers the TPU backend and
+    # overrides JAX_PLATFORMS; P2PB_PLATFORM=cpu restores the choice
+    # (must run before the first backend query)
+    import jax as _jax
+
+    try:
+        _jax.config.update("jax_platforms", _os.environ["P2PB_PLATFORM"])
+    except Exception:
+        pass

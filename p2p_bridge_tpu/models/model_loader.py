@@ -42,7 +42,9 @@ def init_params(cfg, model, seed: int = 0):
     x = jnp.zeros((1, npoints, 3), jnp.float32)
     xc = jnp.zeros((1, npoints, extra), jnp.float32) if extra else None
     t = jnp.zeros((1,), jnp.float32)
-    params = model.init({"params": jax.random.key(seed)}, x, t, xc, True)
+    # jit: eager init dispatches hundreds of tiny executables on TPU
+    init = jax.jit(lambda k: model.init({"params": k}, x, t, xc, True))
+    params = init(jax.random.key(seed))
     n = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
     logger.info("Generated model with following number of params (M): %.2f", n / 1e6)
     return params

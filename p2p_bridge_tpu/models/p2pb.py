@@ -44,6 +44,9 @@ class P2PBridge:
     loss_multiplier: float = 1.0
     loss_type: str = "mse"
     sampling_timesteps: int = 10
+    # cache of jitted sampler programs keyed by static sampling options;
+    # without it every sample() call re-traces and re-compiles the scan
+    _sample_cache: dict = field(default_factory=dict, compare=False, repr=False)
 
     @classmethod
     def from_config(cls, cfg, model) -> "P2PBridge":
@@ -156,6 +159,30 @@ class P2PBridge:
         rng: Optional[jax.Array] = None,
         log_count: int = 10,
     ) -> Dict[str, jnp.ndarray]:
+        """Jit-cached entry point; see _sample_impl for the math."""
+        n_steps = steps or self.sampling_timesteps
+        key = (n_steps, clip_denoise, log_count, x_cond is None)
+        if key not in self._sample_cache:
+            def fn(params, x_start, x_cond, rng):
+                return self._sample_impl(
+                    params, x_start, x_cond, n_steps, clip_denoise, rng, log_count
+                )
+
+            self._sample_cache[key] = jax.jit(fn)
+        if rng is None:
+            rng = jax.random.key(0)
+        return self._sample_cache[key](params, x_start, x_cond, rng)
+
+    def _sample_impl(
+        self,
+        params,
+        x_start: jnp.ndarray,
+        x_cond: Optional[jnp.ndarray],
+        steps: Optional[int],
+        clip_denoise: bool,
+        rng: jax.Array,
+        log_count: int,
+    ) -> Dict[str, jnp.ndarray]:
         """Reverse bridge sampling as one lax.scan program
         (replaces p2pb.py:215-363).
 
@@ -171,8 +198,6 @@ class P2PBridge:
         """
         n_steps = steps or self.sampling_timesteps
         plan = self.schedule.sampler_plan(n_steps)
-        if rng is None:
-            rng = jax.random.key(0)
 
         x1 = x_start
         if self.add_x1_noise:

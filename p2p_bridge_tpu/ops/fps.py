@@ -25,9 +25,8 @@ import jax.numpy as jnp
 from .common import batched_take
 
 
-@partial(jax.jit, static_argnums=(1,))
 def furthest_point_sample(coords: jnp.ndarray, num_samples: int) -> jnp.ndarray:
-    """Iterative FPS indices.
+    """Iterative FPS indices (dispatches to the Pallas kernel on TPU).
 
     Args:
       coords: [B, N, 3] float point coordinates.
@@ -35,6 +34,16 @@ def furthest_point_sample(coords: jnp.ndarray, num_samples: int) -> jnp.ndarray:
     Returns:
       [B, M] int32 indices into N.
     """
+    if jax.devices()[0].platform == "tpu":
+        from .pallas.fps_kernel import furthest_point_sample_pallas
+
+        return furthest_point_sample_pallas(coords, num_samples)
+    return _furthest_point_sample_xla(coords, num_samples)
+
+
+@partial(jax.jit, static_argnums=(1,))
+def _furthest_point_sample_xla(coords: jnp.ndarray, num_samples: int) -> jnp.ndarray:
+    """Reference XLA while-loop implementation (CPU/GPU and parity tests)."""
     coords = jax.lax.stop_gradient(coords.astype(jnp.float32))
     B, N, _ = coords.shape
     M = num_samples

@@ -87,7 +87,10 @@ def normalize_coords_to_voxels(
     if normalize:
         norm = jnp.linalg.norm(centered, axis=-1, keepdims=True)  # [B, N, 1]
         max_norm = jnp.max(norm, axis=1, keepdims=True)  # [B, 1, 1]
-        centered = centered / (max_norm * 2.0 + eps) + 0.5
+        # degenerate all-identical-points cloud: reference divides by 0
+        # and NaNs; clamp instead (only active when max_norm == 0)
+        denom = jnp.maximum(max_norm * 2.0 + eps, 1e-12)
+        centered = centered / denom + 0.5
     else:
         centered = (centered + 1.0) / 2.0
     scaled = jnp.clip(centered * resolution, 0.0, resolution - 1.0)
