@@ -76,7 +76,7 @@ def save_checkpoint(output_dir: str, step: int, params, ema_params=None,
     """Save {params, ema, opt_state, step} (train.py:167-175 analogue)."""
     path = _ckpt_dir(output_dir, step)
     ckptr = ocp.StandardCheckpointer()
-    payload = {"params": params, "step": np.int64(step)}
+    payload = {"params": params, "step": jnp.asarray(step, jnp.int32)}
     if ema_params is not None:
         payload["ema"] = ema_params
     if opt_state is not None:
@@ -111,23 +111,69 @@ def resolve_model_path(model_path: str) -> str:
     return latest
 
 
-def restore_checkpoint(model_path: str, params_template=None) -> Dict[str, Any]:
-    """Restore a checkpoint dict; uses the template's structure/dtypes
-    when given (enables sharded/partial restore)."""
+
+def _raw_restore(path: str) -> Dict[str, Any]:
+    """Template-free restore that works across device topologies: builds
+    an abstract template from checkpoint metadata with a fully-replicated
+    sharding on the current devices (orbax otherwise insists on the
+    topology the checkpoint was saved from)."""
+    from jax.sharding import SingleDeviceSharding
+
+    ckptr = ocp.StandardCheckpointer()
+    meta = ckptr.metadata(path)
+    tree = meta.item_metadata if hasattr(meta, "item_metadata") else meta
+    sh = SingleDeviceSharding(jax.devices()[0])
+    template = jax.tree.map(
+        lambda m: jax.ShapeDtypeStruct(m.shape, m.dtype, sharding=sh), tree
+    )
+    return ckptr.restore(path, template)
+
+
+def checkpoint_keys(model_path: str) -> list:
+    path = resolve_model_path(model_path)
+    meta = ocp.StandardCheckpointer().metadata(path)
+    if hasattr(meta, "item_metadata") and meta.item_metadata:
+        return list(meta.item_metadata.keys())
+    if isinstance(meta, dict):
+        return list(meta.keys())
+    try:
+        return list(meta.keys())
+    except Exception:
+        return []
+
+
+def restore_checkpoint(
+    model_path: str, params_template=None, opt_state_template=None
+) -> Dict[str, Any]:
+    """Restore a checkpoint dict.
+
+    Orbax requires the restore template to cover the FULL on-disk
+    structure. When templates for every present key are available
+    (params/ema use ``params_template``, opt_state needs
+    ``opt_state_template``) a typed restore is performed; otherwise we
+    fall back to a raw template-free restore — fine for inference since
+    flax params are plain nested dicts, but the raw opt_state (lists/
+    dicts instead of optax NamedTuples) must not be fed to an optimizer.
+    """
     path = resolve_model_path(model_path)
     ckptr = ocp.StandardCheckpointer()
     if params_template is None:
-        return ckptr.restore(path)
-    meta = ckptr.metadata(path)
-    template = {"params": params_template, "step": np.int64(0)}
-    if hasattr(meta, "item_metadata"):
-        keys = list(meta.item_metadata.keys()) if meta.item_metadata else []
-    else:
-        keys = list(meta.keys()) if isinstance(meta, dict) else []
-    if "ema" in keys:
-        template["ema"] = params_template
-    restored = ckptr.restore(path, ocp.args.StandardRestore(template))
-    return restored
+        return _raw_restore(path)
+    keys = checkpoint_keys(model_path)
+    if "opt_state" in keys and opt_state_template is None:
+        return _raw_restore(path)
+    template: Dict[str, Any] = {}
+    for k in keys:
+        if k in ("params", "ema"):
+            template[k] = params_template
+        elif k == "step":
+            template[k] = jnp.zeros((), jnp.int32)
+        elif k == "opt_state":
+            template[k] = opt_state_template
+        else:
+            # unknown extra key: fall back to raw restore
+            return _raw_restore(path)
+    return ckptr.restore(path, template)
 
 
 def load_opt_yaml(model_path: str) -> Config:

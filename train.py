@@ -54,19 +54,29 @@ def train(cfg) -> None:
         cfg, num_shards=jax.process_count(), shard_index=jax.process_index()
     )
 
-    bridge, params, ckpt = model_loader.load_diffusion(cfg, seed=seed)
+    bridge, params, _ = model_loader.load_diffusion(
+        cfg.copy().merge({"model_path": ""}), seed=seed
+    )
     optimizer = make_optimizer(cfg)
     use_ema = cfg.model.get("ema", True)
     state = init_train_state(params, optimizer, use_ema=use_ema)
     start_step = 0
-    if ckpt is not None and not cfg.get("restart", False):
-        start_step = int(ckpt.get("step", 0))
-        if "opt_state" in ckpt:
-            state = state._replace(opt_state=ckpt["opt_state"])
-        if "ema" in ckpt and state.ema is not None:
-            state = state._replace(ema=state.ema._replace(params=ckpt["ema"]))
-        state = state._replace(step=jnp.int32(start_step))
-        logger.info("Resumed from step %d", start_step)
+    if cfg.get("model_path"):
+        # typed restore: opt_state comes back as proper optax NamedTuples
+        ckpt = model_loader.restore_checkpoint(
+            cfg.model_path,
+            params_template=params,
+            opt_state_template=optimizer.init(params),
+        )
+        state = state._replace(params=ckpt["params"])
+        if not cfg.get("restart", False):
+            start_step = int(ckpt.get("step", 0))
+            if "opt_state" in ckpt:
+                state = state._replace(opt_state=ckpt["opt_state"])
+            if "ema" in ckpt and state.ema is not None:
+                state = state._replace(ema=state.ema._replace(params=ckpt["ema"]))
+            state = state._replace(step=jnp.int32(start_step))
+            logger.info("Resumed from step %d", start_step)
 
     # PUNet on-the-fly EMD alignment (train.py:72-85)
     align_fn = None
