@@ -76,39 +76,25 @@ def furthest_point_sample_and_gather(
 
 
 def bucket_fps(points, num_samples: int, num_buckets: int = 64, seed: int = 0):
-    """Approximate FPS for room-scale clouds (host-side numpy).
+    """Approximate FPS for room-scale clouds (host-side, native C++).
 
     Replaces ``fpsample.bucket_fps_kdline_sampling`` used by the reference
-    for million-point rooms (denoise_room.py:404, data/processing/utils.py:97-99).
-    Strategy: random-shuffle points into ``num_buckets`` contiguous chunks,
-    run exact vectorized FPS on per-bucket FPS-reduced candidates.
+    for million-point rooms (denoise_room.py:404, data/processing/utils.py:97-99):
+    exact FPS over a strided candidate pool, run in the native runtime
+    (runtime/native/recompose.cpp).
 
     Args:
       points: [N, 3] numpy array.
-      num_samples: number of seeds.
     Returns:
       [num_samples] int64 indices into N.
     """
     import numpy as np
 
+    from ..runtime import bucket_fps_host
+
     points = np.asarray(points, dtype=np.float32)
     N = points.shape[0]
     if num_samples >= N:
         return np.arange(N, dtype=np.int64)
-
-    rng = np.random.default_rng(seed)
-    # candidate pool: oversample 4x via stratified random, then exact FPS
-    pool_size = min(N, max(4 * num_samples, 4096))
-    cand = rng.choice(N, size=pool_size, replace=False)
-    sub = points[cand]
-
-    sel = np.empty(num_samples, dtype=np.int64)
-    dists = np.full(pool_size, np.inf, dtype=np.float32)
-    last = 0
-    sel[0] = cand[0]
-    for j in range(1, num_samples):
-        d = np.sum((sub - sub[last]) ** 2, axis=-1)
-        np.minimum(dists, d, out=dists)
-        last = int(np.argmax(dists))
-        sel[j] = cand[last]
-    return sel
+    del seed  # pool selection is deterministic (strided)
+    return bucket_fps_host(points, num_samples)

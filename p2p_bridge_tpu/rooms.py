@@ -133,33 +133,38 @@ def denoise_patch_batch(
 
 
 class RunningMean:
-    """Overlap-averaged accumulation over the room
-    (replaces the numba kernels, denoise_room.py:181-289)."""
+    """Overlap-averaged accumulation over the room.
+
+    The inner scatter loop runs in the native C++ runtime
+    (runtime/native/recompose.cpp, replacing the reference's numba
+    kernels denoise_room.py:181-289); numpy fallback without a
+    toolchain."""
 
     def __init__(self, room_points: np.ndarray):
-        self.sums = np.zeros_like(room_points, dtype=np.float64)
+        self.sums = np.zeros((len(room_points), 3), dtype=np.float64)
         self.counts = np.zeros(len(room_points), dtype=np.int64)
-        self.fallback = room_points
+        self.fallback = np.ascontiguousarray(room_points, np.float32)
 
     def update(self, patch_batch: np.ndarray, idxs_batch: np.ndarray,
                cut_list: np.ndarray) -> None:
-        for patch, idxs, cut in zip(patch_batch, idxs_batch, cut_list):
-            p, i = patch[:cut], idxs[:cut]
-            np.add.at(self.sums, i, p)
-            np.add.at(self.counts, i, 1)
+        from .runtime import accumulate_running_mean
+
+        accumulate_running_mean(
+            self.sums, self.counts, patch_batch, idxs_batch, cut_list
+        )
 
     def result(self, rng: Optional[np.random.Generator] = None) -> np.ndarray:
-        out = self.fallback.astype(np.float64).copy()
-        mask = self.counts > 0
-        out[mask] = self.sums[mask] / self.counts[mask, None]
-        n_miss = int((~mask).sum())
+        from .runtime import finalize_running_mean
+
+        out, n_miss = finalize_running_mean(self.sums, self.counts, self.fallback)
         if n_miss:
             # never-updated points take random updated predictions
             # (denoise_room.py:551-557)
             logger.warning("There are %d points that did not get updated.", n_miss)
             rng = rng or np.random.default_rng(0)
-            out[~mask] = out[rng.choice(len(out), n_miss)]
-        return out.astype(np.float32)
+            mask = self.counts == 0
+            out[mask] = out[rng.choice(len(out), n_miss)]
+        return out
 
 
 def remove_outliers(gen: np.ndarray, ref: np.ndarray, num_outliers: int):
