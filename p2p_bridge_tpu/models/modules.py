@@ -98,13 +98,15 @@ class SE(nn.Module):
 
     channels: int
     reduction: int = 8
+    dtype: type = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         pooled = jnp.mean(x, axis=(1, 2, 3))  # [B, C]
-        h = nn.Dense(self.channels // self.reduction, use_bias=False)(pooled)
+        h = nn.Dense(self.channels // self.reduction, use_bias=False,
+                     dtype=self.dtype)(pooled)
         h = nn.relu(h)
-        h = nn.Dense(self.channels, use_bias=False)(h)
+        h = nn.Dense(self.channels, use_bias=False, dtype=self.dtype)(h)
         gate = jax.nn.sigmoid(h)
         return x * gate[:, None, None, None, :]
 
@@ -116,12 +118,14 @@ class LinearAttention(nn.Module):
     dim: int
     heads: int = 4
     dim_head: int = 32
+    dtype: type = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         B, N, C = x.shape
         h, d = self.heads, self.dim_head
-        qkv = nn.Dense(3 * h * d, use_bias=False, name="to_qkv")(x)
+        qkv = nn.Dense(3 * h * d, use_bias=False, name="to_qkv",
+                       dtype=self.dtype)(x)
         q, k, v = jnp.split(qkv.reshape(B, N, 3, h, d), 3, axis=2)
         q, k, v = q[:, :, 0], k[:, :, 0], v[:, :, 0]  # [B, N, h, d]
         k = jax.nn.softmax(k, axis=1)  # softmax over sequence (ref :188)
@@ -132,7 +136,7 @@ class LinearAttention(nn.Module):
             "bhde,bnhd->bnhe", context, q, preferred_element_type=jnp.float32
         ).astype(x.dtype)
         out = out.reshape(B, N, h * d)
-        return nn.Dense(self.dim, name="to_out")(out)
+        return nn.Dense(self.dim, name="to_out", dtype=self.dtype)(out)
 
 
 class Attention(nn.Module):
@@ -193,13 +197,14 @@ class SharedMLP(nn.Module):
     out_channels: tuple
     gn_groups: int = 8
     use_cond: bool = False
+    dtype: type = jnp.float32
 
     @nn.compact
     def __call__(
         self, x: jnp.ndarray, cond: Optional[jnp.ndarray] = None
     ) -> jnp.ndarray:
         for oc in self.out_channels:
-            x = nn.Dense(oc)(x)
+            x = nn.Dense(oc, dtype=self.dtype)(x)
             if self.use_cond and cond is not None:
                 x = AdaGN(num_channels=oc, num_groups=self.gn_groups)(x, cond)
             else:
@@ -218,11 +223,12 @@ class MyGroupNormMLP(nn.Module):
 
     channels: tuple
     min_groups: int = 32
+    dtype: type = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         for oc in self.channels:
-            x = nn.Dense(oc, use_bias=True)(x)
+            x = nn.Dense(oc, use_bias=True, dtype=self.dtype)(x)
             groups = min(self.min_groups, oc)
             if oc % groups != 0:
                 keep = oc - oc % groups
@@ -243,13 +249,14 @@ class Pnet2Stage(nn.Module):
 
     mlp1: tuple  # e.g. (c//8, c//4) output dims; input dim inferred
     mlp2: tuple  # e.g. (c//2, c)
+    dtype: type = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        feat = MyGroupNormMLP(channels=tuple(self.mlp1))(x)  # [B, N, c1]
+        feat = MyGroupNormMLP(channels=tuple(self.mlp1), dtype=self.dtype)(x)
         global_feat = jnp.max(feat, axis=1, keepdims=True)  # [B, 1, c1]
         feat = jnp.concatenate(
             [feat, jnp.broadcast_to(global_feat, feat.shape)], axis=-1
         )
-        feat = MyGroupNormMLP(channels=tuple(self.mlp2))(feat)
+        feat = MyGroupNormMLP(channels=tuple(self.mlp2), dtype=self.dtype)(feat)
         return jnp.max(feat, axis=1)  # [B, c2]

@@ -240,6 +240,7 @@ class PVConv(nn.Module):
     use_se: bool = True
     use_cond: bool = False
     attn_heads: int = 4
+    dtype: type = jnp.float32
 
     @nn.compact
     def __call__(self, features, coords, cond=None, deterministic=True):
@@ -248,30 +249,33 @@ class PVConv(nn.Module):
         vox, cont = normalize_coords_to_voxels(coords, r)
         grid = avg_voxelize(features, vox, r)  # [B, r, r, r, C_in]
 
-        h = nn.Conv(s.out_channels, (3, 3, 3), padding="SAME", name="vconv1")(grid)
+        h = nn.Conv(s.out_channels, (3, 3, 3), padding="SAME", name="vconv1",
+                    dtype=self.dtype)(grid)
         if self.use_cond and cond is not None:
             h = AdaGN(num_channels=s.out_channels, name="vnorm1")(h, cond)
         else:
             h = nn.GroupNorm(num_groups=8, epsilon=1e-5, name="vnorm1")(h)
         h = swish(h)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
-        h = nn.Conv(s.out_channels, (3, 3, 3), padding="SAME", name="vconv2")(h)
+        h = nn.Conv(s.out_channels, (3, 3, 3), padding="SAME", name="vconv2",
+                    dtype=self.dtype)(h)
         if self.use_cond and cond is not None:
             h = AdaGN(num_channels=s.out_channels, name="vnorm2")(h, cond)
         else:
             h = nn.GroupNorm(num_groups=8, epsilon=1e-5, name="vnorm2")(h)
         if self.use_se:
-            h = SE(channels=s.out_channels)(h)
+            h = SE(channels=s.out_channels, dtype=self.dtype)(h)
 
         fused = trilinear_devoxelize(h, cont, r)  # [B, N, C_out]
         # point branch (add_point_feat default True, pvcnn.py:295-302)
         fused = fused + SharedMLP(
             out_channels=(s.out_channels,), use_cond=self.use_cond,
-            name="point_features",
+            name="point_features", dtype=self.dtype,
         )(features, cond)
         if s.attention:
             fused = LinearAttention(
-                dim=s.out_channels, heads=self.attn_heads, name="attn"
+                dim=s.out_channels, heads=self.attn_heads, name="attn",
+                dtype=self.dtype,
             )(fused)
         return fused
 
@@ -286,6 +290,7 @@ class PointNetSAModule(nn.Module):
 
     spec: SASpec
     use_cond: bool = False
+    dtype: type = jnp.float32
 
     @nn.compact
     def __call__(self, features, coords, cond=None):
@@ -298,7 +303,8 @@ class PointNetSAModule(nn.Module):
         neigh = group(features, idx)  # [B, M, K, C]
         grouped = jnp.concatenate([rel.astype(neigh.dtype), neigh], axis=-1)
         h = SharedMLP(
-            out_channels=s.mlp_channels, use_cond=self.use_cond, name="mlp"
+            out_channels=s.mlp_channels, use_cond=self.use_cond, name="mlp",
+            dtype=self.dtype,
         )(grouped, cond)
         return jnp.max(h, axis=2), centers  # reduce over K
 
@@ -309,6 +315,7 @@ class PointNetFPModule(nn.Module):
 
     spec: FPSpec
     use_cond: bool = False
+    dtype: type = jnp.float32
 
     @nn.compact
     def __call__(self, coords, skip_features, lower_coords, lower_features, cond=None):
@@ -316,5 +323,6 @@ class PointNetFPModule(nn.Module):
         if skip_features is not None:
             interp = jnp.concatenate([interp, skip_features], axis=-1)
         return SharedMLP(
-            out_channels=self.spec.mlp_channels, use_cond=self.use_cond, name="mlp"
+            out_channels=self.spec.mlp_channels, use_cond=self.use_cond,
+            name="mlp", dtype=self.dtype,
         )(interp, cond)

@@ -36,6 +36,7 @@ class PVCNN2Unet(nn.Module):
     attention_heads: int = 4
     dropout: float = 0.1
     use_se: bool = True
+    dtype: type = jnp.float32  # compute dtype (bf16 = TPU AMP analog)
 
     @nn.compact
     def __call__(
@@ -59,17 +60,18 @@ class PVCNN2Unet(nn.Module):
         f_embed = self.feat_embed_dim or self.extra_feature_channels
         if f_embed != self.extra_feature_channels:
             src = coords if self.extra_feature_channels == 0 else features
-            h = nn.Dense(f_embed, name="embed_feats_0")(src)
+            h = nn.Dense(f_embed, name="embed_feats_0", dtype=self.dtype)(src)
             h = nn.GroupNorm(num_groups=8, epsilon=1e-5, name="embed_feats_gn")(h)
             h = swish(h)
-            features = nn.Dense(f_embed, name="embed_feats_1")(h)
+            features = nn.Dense(f_embed, name="embed_feats_1", dtype=self.dtype)(h)
 
         # global embedding from raw coords (unet_pvc.py:59-69,194-198)
         cond = None
         if self.use_global_embedding:
             c = self.global_embedding_dim
             cond = Pnet2Stage(
-                mlp1=(c // 8, c // 4), mlp2=(c // 2, c), name="global_pnet"
+                mlp1=(c // 8, c // 4), mlp2=(c // 2, c), name="global_pnet",
+                dtype=self.dtype,
             )(coords)
 
         # time embedding (unet_pvc.py:210-214)
@@ -101,11 +103,13 @@ class PVCNN2Unet(nn.Module):
                     use_cond=self.use_global_embedding,
                     attn_heads=self.attention_heads,
                     name=f"sa{i}_conv{j}",
+                    dtype=self.dtype,
                 )(cur, cur_coords, cond, deterministic)
             cur, cur_coords = PointNetSAModule(
                 spec=stage.sa,
                 use_cond=self.use_global_embedding,
                 name=f"sa{i}_module",
+                dtype=self.dtype,
             )(cur, cur_coords, cond)
 
         # ---- bottleneck global attention (unet_pvc.py:234-244) ----
@@ -114,6 +118,7 @@ class PVCNN2Unet(nn.Module):
                 dim=self.plan.bottleneck_channels,
                 heads=self.attention_heads,
                 name="global_att",
+                dtype=self.dtype,
             )(cur)
         elif self.attention_type.lower() == "flash":
             cur = Attention(
@@ -129,6 +134,7 @@ class PVCNN2Unet(nn.Module):
                 spec=stage.fp,
                 use_cond=self.use_global_embedding,
                 name=f"fp{fp_idx}_module",
+                dtype=self.dtype,
             )(
                 fine_coords,
                 skip_features[-1 - fp_idx],
@@ -145,6 +151,7 @@ class PVCNN2Unet(nn.Module):
                     use_cond=self.use_global_embedding,
                     attn_heads=self.attention_heads,
                     name=f"fp{fp_idx}_conv{j}",
+                    dtype=self.dtype,
                 )(cur, cur_coords, cond, deterministic)
 
         # ---- classifier head (unet_pvc.py:147-154,263-268) ----
@@ -153,9 +160,13 @@ class PVCNN2Unet(nn.Module):
             out_channels=(self.plan.out_mlp,),
             use_cond=False,
             name="classifier_mlp",
+            dtype=self.dtype,
         )(cur)
         cur = nn.Dropout(self.dropout)(cur, deterministic=deterministic)
-        return nn.Dense(self.out_dim, name="classifier_out")(cur)
+        # head stays f32: the eps/x0 regression target is full precision
+        return nn.Dense(self.out_dim, name="classifier_out")(
+            cur.astype(jnp.float32)
+        )
 
 
 def build_unet_from_config(cfg) -> PVCNN2Unet:
@@ -182,8 +193,15 @@ def build_unet_from_config(cfg) -> PVCNN2Unet:
         out_mlp=pvd.get("out_mlp", 128),
         centers=list(pvd.centers) if "centers" in pvd else None,
     )
+    # compute dtype: explicit model.compute_dtype wins; otherwise
+    # training.amp=true selects bf16 (the TPU analog of the reference's
+    # CUDA AMP, train.py:100 — no loss scaling needed in bf16)
+    amp = cfg.training.get("amp", False) if "training" in cfg else False
+    compute_dtype = model_cfg.get("compute_dtype", "bf16" if amp else "f32")
+    dtype = jnp.bfloat16 if compute_dtype == "bf16" else jnp.float32
     return PVCNN2Unet(
         plan=plan,
+        dtype=dtype,
         input_dim=input_dim,
         out_dim=model_cfg.get("out_dim", 3),
         extra_feature_channels=extra,

@@ -23,6 +23,22 @@ from .common import pairwise_sqdist
 from .grouping import group
 
 
+def _bottom_k_iterative(d2: jnp.ndarray, k: int):
+    """k smallest values+indices along the last axis via k masked
+    min-passes (first-occurrence tie-break, same as top_k of -d2)."""
+    work = d2
+    vals, idxs = [], []
+    for _ in range(k):
+        i = jnp.argmin(work, axis=-1)
+        v = jnp.take_along_axis(work, i[..., None], axis=-1)[..., 0]
+        vals.append(-v)
+        idxs.append(i)
+        work = jnp.where(
+            jax.nn.one_hot(i, d2.shape[-1], dtype=bool), jnp.inf, work
+        )
+    return jnp.stack(vals, axis=-1), jnp.stack(idxs, axis=-1)
+
+
 def three_nn(
     points: jnp.ndarray, centers: jnp.ndarray
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -36,7 +52,13 @@ def three_nn(
     """
     M = centers.shape[1]
     d2 = pairwise_sqdist(points, centers)  # [B, N, M]
-    neg_d, idx = jax.lax.top_k(-d2, min(3, M))  # 3 smallest distances
+    k = min(3, M)
+    if jax.devices()[0].platform == "tpu":
+        # iterative argmin instead of top_k: 3 masked min-passes are ~3x
+        # cheaper than TPU's sort-based top_k at these shapes
+        neg_d, idx = _bottom_k_iterative(d2, k)
+    else:
+        neg_d, idx = jax.lax.top_k(-d2, k)  # 3 smallest distances
     if M < 3:
         # fewer than 3 centers: the CUDA kernel leaves unfound slots at
         # index 0 with distance 1e40 -> clamped to 1e10

@@ -1,0 +1,81 @@
+import numpy as np
+import pytest
+
+from p2p_bridge_tpu.data.image_features import (
+    FeatureAccumulator,
+    interpolate_missing_features,
+    process_scene,
+    project_points,
+    visible_mask_with_occlusion,
+)
+
+
+def make_camera():
+    K = np.array([[100.0, 0, 32], [0, 100.0, 32], [0, 0, 1]])
+    w2c = np.eye(4)  # camera at origin looking down +z
+    return K, w2c
+
+
+def test_project_points_center():
+    K, w2c = make_camera()
+    pts = np.array([[0, 0, 2.0]])  # on the optical axis
+    uv, depth = project_points(pts, K, w2c)
+    np.testing.assert_allclose(uv[0], [32, 32])
+    assert depth[0] == pytest.approx(2.0)
+
+
+def test_occlusion_zbuffer():
+    K, w2c = make_camera()
+    # two points on the same ray, different depths
+    pts = np.array([[0, 0, 2.0], [0, 0, 4.0]])
+    uv, depth = project_points(pts, K, w2c)
+    vis = visible_mask_with_occlusion(uv, depth, 64, 64)
+    assert vis[0] and not vis[1]  # far point occluded
+
+
+def test_occlusion_with_depth_map():
+    K, w2c = make_camera()
+    pts = np.array([[0, 0, 2.0], [0, 0, 4.0]])
+    uv, depth = project_points(pts, K, w2c)
+    dm = np.full((64, 64), 2.0)
+    vis = visible_mask_with_occlusion(uv, depth, 64, 64, frame_depth=dm)
+    assert vis[0] and not vis[1]
+
+
+def test_accumulator_running_mean():
+    acc = FeatureAccumulator(3, 2)
+    acc.update(np.array([0, 1]), np.array([[1.0, 0], [2, 2]]))
+    acc.update(np.array([0]), np.array([[3.0, 0]]))
+    feats, mask = acc.result()
+    np.testing.assert_allclose(feats[0], [2.0, 0])
+    np.testing.assert_allclose(feats[1], [2.0, 2])
+    assert not mask[2]
+
+
+def test_interpolate_missing(rng):
+    pts = rng.normal(size=(20, 3)).astype(np.float32)
+    feats = np.zeros((20, 4), np.float32)
+    observed = np.ones(20, bool)
+    observed[5] = False
+    feats[observed] = 1.0
+    out = interpolate_missing_features(pts, feats, observed)
+    np.testing.assert_allclose(out[5], 1.0)
+
+
+def test_process_scene_end_to_end(rng):
+    """Synthetic scene: constant-feature frame covering all points."""
+    K, w2c = make_camera()
+    pts = rng.uniform(-0.2, 0.2, size=(50, 3)).astype(np.float64)
+    pts[:, 2] += 2.0  # in front of the camera
+
+    def extractor(image):
+        h, w = image.shape[0] // 14, image.shape[1] // 14
+        return np.ones((h, w, 8), np.float32) * 7.0
+
+    frames = [
+        {"image": np.zeros((64, 64, 3), np.uint8), "intrinsics": K,
+         "world_to_cam": w2c}
+    ]
+    feats = process_scene(pts, frames, extractor)
+    assert feats.shape == (50, 8)
+    np.testing.assert_allclose(feats, 7.0)
