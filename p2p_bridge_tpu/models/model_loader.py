@@ -176,6 +176,35 @@ def restore_checkpoint(
     return ckptr.restore(path, template)
 
 
+def load_matched_weights(params, loaded) -> Tuple[Any, int, int]:
+    """Adaptive partial weight load (reference model_loader.py:182-219):
+    copy every leaf whose path exists in both pytrees with matching
+    shape; keep the fresh initialization elsewhere. Enables loading
+    checkpoints across config changes.
+
+    Returns (merged_params, n_loaded, n_skipped)."""
+    flat_new = dict(jax.tree_util.tree_flatten_with_path(params)[0])
+    flat_old = dict(jax.tree_util.tree_flatten_with_path(loaded)[0])
+    n_loaded = n_skipped = 0
+    merged = {}
+    for path, leaf in flat_new.items():
+        old = flat_old.get(path)
+        if old is not None and tuple(old.shape) == tuple(leaf.shape):
+            merged[path] = jnp.asarray(old, leaf.dtype)
+            n_loaded += 1
+        else:
+            merged[path] = leaf
+            n_skipped += 1
+            logger.warning(
+                "Parameter %s %s; keeping fresh init.",
+                jax.tree_util.keystr(path),
+                "not found in checkpoint" if old is None else "shape mismatch",
+            )
+    treedef = jax.tree_util.tree_structure(params)
+    ordered = [merged[p] for p, _ in jax.tree_util.tree_flatten_with_path(params)[0]]
+    return jax.tree_util.tree_unflatten(treedef, ordered), n_loaded, n_skipped
+
+
 def load_opt_yaml(model_path: str) -> Config:
     """Find the opt.yaml co-saved next to checkpoints
     (evaluate_objects.py:38-43 convention)."""

@@ -123,7 +123,16 @@ def train(cfg) -> None:
     viz_interval = cfg.training.get("viz_interval", 10000)
     t_last = time.perf_counter()
 
+    # tracing/profiling hook (SURVEY.md §5: the reference has none; on
+    # TPU a --profile_dir flag captures steps 10-15 for xprof)
+    profile_dir = cfg.get("profile_dir")
+
     for step in range(start_step, cfg.training.steps):
+        if profile_dir and step == start_step + 10:
+            jax.profiler.start_trace(profile_dir)
+        if profile_dir and step == start_step + 15:
+            jax.profiler.stop_trace()
+            logger.info("Wrote profiler trace to %s", profile_dir)
         batch_np = next(train_iter)
         db = get_data_batch(batch_np, cfg, align_fn=align_fn)
         batch = {k: v for k, v in db.items() if v is not None}
