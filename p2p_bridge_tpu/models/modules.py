@@ -74,6 +74,7 @@ class AdaGN(nn.Module):
 
     num_channels: int
     num_groups: int = 8
+    dtype: type = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, cond: jnp.ndarray) -> jnp.ndarray:
@@ -82,8 +83,10 @@ class AdaGN(nn.Module):
         def bias_init(key, shape, dtype=jnp.float32):
             return jnp.concatenate([jnp.ones(C, dtype), jnp.zeros(C, dtype)])
 
-        h = nn.GroupNorm(num_groups=self.num_groups, epsilon=1e-5)(x)
-        fb = nn.Dense(2 * C, kernel_init=variance_scaling_uniform(), bias_init=bias_init)(
+        h = nn.GroupNorm(num_groups=self.num_groups, epsilon=1e-5,
+                         dtype=self.dtype)(x)
+        fb = nn.Dense(2 * C, kernel_init=variance_scaling_uniform(),
+                      bias_init=bias_init, dtype=self.dtype)(
             cond.astype(x.dtype)
         )
         # broadcast (B, 2C) over the spatial dims of x
@@ -206,9 +209,11 @@ class SharedMLP(nn.Module):
         for oc in self.out_channels:
             x = nn.Dense(oc, dtype=self.dtype)(x)
             if self.use_cond and cond is not None:
-                x = AdaGN(num_channels=oc, num_groups=self.gn_groups)(x, cond)
+                x = AdaGN(num_channels=oc, num_groups=self.gn_groups,
+                          dtype=self.dtype)(x, cond)
             else:
-                x = nn.GroupNorm(num_groups=self.gn_groups, epsilon=1e-5)(x)
+                x = nn.GroupNorm(num_groups=self.gn_groups, epsilon=1e-5,
+                                 dtype=self.dtype)(x)
             x = swish(x)
         return x
 
@@ -232,10 +237,12 @@ class MyGroupNormMLP(nn.Module):
             groups = min(self.min_groups, oc)
             if oc % groups != 0:
                 keep = oc - oc % groups
-                head = nn.GroupNorm(num_groups=groups, epsilon=1e-5)(x[..., :keep])
+                head = nn.GroupNorm(num_groups=groups, epsilon=1e-5,
+                                    dtype=self.dtype)(x[..., :keep])
                 x = jnp.concatenate([head, x[..., keep:]], axis=-1)
             else:
-                x = nn.GroupNorm(num_groups=groups, epsilon=1e-5)(x)
+                x = nn.GroupNorm(num_groups=groups, epsilon=1e-5,
+                                 dtype=self.dtype)(x)
             x = swish(x)
         return x
 

@@ -252,17 +252,21 @@ class PVConv(nn.Module):
         h = nn.Conv(s.out_channels, (3, 3, 3), padding="SAME", name="vconv1",
                     dtype=self.dtype)(grid)
         if self.use_cond and cond is not None:
-            h = AdaGN(num_channels=s.out_channels, name="vnorm1")(h, cond)
+            h = AdaGN(num_channels=s.out_channels, name="vnorm1",
+                      dtype=self.dtype)(h, cond)
         else:
-            h = nn.GroupNorm(num_groups=8, epsilon=1e-5, name="vnorm1")(h)
+            h = nn.GroupNorm(num_groups=8, epsilon=1e-5, name="vnorm1",
+                             dtype=self.dtype)(h)
         h = swish(h)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         h = nn.Conv(s.out_channels, (3, 3, 3), padding="SAME", name="vconv2",
                     dtype=self.dtype)(h)
         if self.use_cond and cond is not None:
-            h = AdaGN(num_channels=s.out_channels, name="vnorm2")(h, cond)
+            h = AdaGN(num_channels=s.out_channels, name="vnorm2",
+                      dtype=self.dtype)(h, cond)
         else:
-            h = nn.GroupNorm(num_groups=8, epsilon=1e-5, name="vnorm2")(h)
+            h = nn.GroupNorm(num_groups=8, epsilon=1e-5, name="vnorm2",
+                             dtype=self.dtype)(h)
         if self.use_se:
             h = SE(channels=s.out_channels, dtype=self.dtype)(h)
 
@@ -299,9 +303,14 @@ class PointNetSAModule(nn.Module):
             coords, furthest_point_sample(coords, s.num_centers)
         )  # [B, M, 3]
         idx = ball_query(centers, coords, s.radius, s.num_neighbors)  # [B, M, K]
-        rel = group_relative(coords, centers, idx)  # [B, M, K, 3]
-        neigh = group(features, idx)  # [B, M, K, C]
-        grouped = jnp.concatenate([rel.astype(neigh.dtype), neigh], axis=-1)
+        # single gather of [coords | features]: same rows, half the
+        # row-gather traffic of separate rel-coords + feature gathers
+        aug = jnp.concatenate(
+            [coords.astype(features.dtype), features], axis=-1
+        )
+        both = group(aug, idx)  # [B, M, K, 3 + C]
+        rel = both[..., :3] - centers[:, :, None, :].astype(both.dtype)
+        grouped = jnp.concatenate([rel, both[..., 3:]], axis=-1)
         h = SharedMLP(
             out_channels=s.mlp_channels, use_cond=self.use_cond, name="mlp",
             dtype=self.dtype,
