@@ -234,15 +234,18 @@ class MyGroupNormMLP(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         for oc in self.channels:
             x = nn.Dense(oc, use_bias=True, dtype=self.dtype)(x)
-            groups = min(self.min_groups, oc)
-            if oc % groups != 0:
-                keep = oc - oc % groups
-                head = nn.GroupNorm(num_groups=groups, epsilon=1e-5,
+            # MyGroupNorm semantics (reference models/pvcnn.py:745-763):
+            # ALWAYS `min_groups` groups over the first oc - oc%min_groups
+            # channels; the remainder passes through unnormalized. When
+            # oc < min_groups this normalizes ZERO channels (identity).
+            keep = oc - oc % self.min_groups
+            if keep == oc:
+                x = nn.GroupNorm(num_groups=self.min_groups, epsilon=1e-5,
+                                 dtype=self.dtype)(x)
+            elif keep > 0:
+                head = nn.GroupNorm(num_groups=self.min_groups, epsilon=1e-5,
                                     dtype=self.dtype)(x[..., :keep])
                 x = jnp.concatenate([head, x[..., keep:]], axis=-1)
-            else:
-                x = nn.GroupNorm(num_groups=groups, epsilon=1e-5,
-                                 dtype=self.dtype)(x)
             x = swish(x)
         return x
 

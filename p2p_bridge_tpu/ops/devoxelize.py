@@ -20,10 +20,13 @@ Layout: grid [B, r, r, r, C], coords float [B, N, 3] in [0, r-1] -> [B, N, C].
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
 def trilinear_devoxelize(
     grid: jnp.ndarray, coords: jnp.ndarray, resolution: int
 ) -> jnp.ndarray:
@@ -73,3 +76,74 @@ def trilinear_devoxelize(
     )  # [B, N, 2, 2, 2]
     out = jnp.sum(blocks * w[..., None].astype(blocks.dtype), axis=(2, 3, 4))
     return out.astype(grid.dtype)
+
+
+def _corner_indices_weights(coords: jnp.ndarray, r: int):
+    """Shared corner math: flat indices [B, N, 8] + weights [B, N, 8]."""
+    coords = jax.lax.stop_gradient(coords.astype(jnp.float32))
+    lo_f = jnp.floor(coords)
+    frac = coords - lo_f
+    lo = lo_f.astype(jnp.int32)
+    hi_step = (frac > 0.0).astype(jnp.int32)
+    idxs, ws = [], []
+    for cx in (0, 1):
+        wx = frac[..., 0] if cx else 1.0 - frac[..., 0]
+        ox = hi_step[..., 0] * r * r if cx else 0
+        for cy in (0, 1):
+            wy = frac[..., 1] if cy else 1.0 - frac[..., 1]
+            oy = hi_step[..., 1] * r if cy else 0
+            for cz in (0, 1):
+                wz = frac[..., 2] if cz else 1.0 - frac[..., 2]
+                oz = hi_step[..., 2] if cz else 0
+                idxs.append(
+                    lo[..., 0] * r * r + lo[..., 1] * r + lo[..., 2] + ox + oy + oz
+                )
+                ws.append(wx * wy * wz)
+    return jnp.stack(idxs, axis=-1), jnp.stack(ws, axis=-1)
+
+
+def _devox_fwd(grid, coords, resolution):
+    return trilinear_devoxelize.__wrapped__(grid, coords, resolution), coords
+
+
+def _devox_bwd(resolution, residuals, g):
+    """grad_grid[b, v, c] = sum_n sum_corner w * [idx == v] * g[b, n, c].
+
+    The naive VJP of the block gather is ~1s/step on TPU (per-row
+    scatter-adds); this backward is the same one-hot-matmul scatter trick
+    as avg_voxelize: the 8-corner weighted one-hot generator fuses into
+    an MXU matmul per bin chunk.
+    """
+    coords = residuals
+    r = resolution
+    B, N, C = g.shape
+    r3 = r * r * r
+    idx, w = _corner_indices_weights(coords, r)  # [B, N, 8]
+    gf = g.astype(jnp.float32)
+    chunk = min(r3, 2048)
+    bins = jnp.arange(chunk)
+    parts = []
+    for s in range(0, r3, chunk):
+        # P[b, n, v] = sum_corners w * [idx == s + v]
+        P = jnp.sum(
+            jnp.where(
+                idx[..., None] == (s + bins)[None, None, None, :],
+                w[..., None],
+                0.0,
+            ),
+            axis=2,
+        )
+        parts.append(
+            jnp.einsum(
+                "bnv,bnc->bvc",
+                P,
+                gf,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        )
+    grad_grid = jnp.concatenate(parts, axis=1).reshape(B, r, r, r, C)
+    return (grad_grid.astype(g.dtype), None)
+
+
+trilinear_devoxelize.defvjp(_devox_fwd, _devox_bwd)

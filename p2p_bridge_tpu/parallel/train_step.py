@@ -165,9 +165,23 @@ def make_train_step(
     return train_step
 
 
+def replicate_state(state: TrainState, mesh) -> TrainState:
+    """Place the train state on the mesh, fully replicated. MUST be
+    called once before the jitted step: on this TPU backend an input
+    whose sharding mismatches the jit's in_shardings is re-laid-out
+    through the HOST every call (~23s/step for a 26M-param state)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    repl = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(x, repl), state)
+
+
 def jit_train_step(train_step, mesh):
     """jit with data-parallel shardings: state replicated, batch sharded
-    on its leading axis. XLA emits the gradient psum over ICI."""
+    on its leading axis. XLA emits the gradient psum over ICI.
+
+    Callers must pass a state placed via ``replicate_state`` and batches
+    via ``shard_batch`` (see replicate_state's warning)."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     repl = NamedSharding(mesh, P())

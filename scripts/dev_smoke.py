@@ -32,6 +32,7 @@ from p2p_bridge_tpu.parallel.train_step import (
     jit_train_step,
     make_optimizer,
     make_train_step,
+    replicate_state,
 )
 from p2p_bridge_tpu.utils.config import Config
 
@@ -63,6 +64,7 @@ def main():
     opt = make_optimizer(cfg)
     state = init_train_state(params, opt, use_ema=True)
     step_fn = jit_train_step(make_train_step(bridge, opt, grad_clip=1.0), mesh)
+    state = replicate_state(state, mesh)
     batch = shard_batch({"x_gt": x, "x_start": x + 0.05}, mesh)
 
     t0 = time.time()

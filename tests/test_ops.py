@@ -278,3 +278,43 @@ def test_pairwise_sqdist_accuracy(rng):
     got = ops.pairwise_sqdist(jnp.asarray(a), jnp.asarray(b))
     want = np.sum((a[:, :, None] - b[:, None]) ** 2, -1)
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_devoxelize_custom_vjp_matches_autodiff(rng):
+    """The matmul-scatter backward must equal autodiff of a plain impl."""
+    import jax
+
+    B, N, C, r = 2, 24, 5, 4
+    grid = rng.normal(size=(B, r, r, r, C)).astype(np.float32)
+    coords = rng.uniform(0, r - 1, size=(B, N, 3)).astype(np.float32)
+    coords[0, 0] = [0.0, 0.0, 0.0]
+    coords[0, 1] = [r - 1, r - 1, r - 1]
+
+    def plain(g):
+        # reference-semantics 8-corner gather in plain jnp (autodiff'd)
+        flat = g.reshape(B, r * r * r, C)
+        lo = jnp.floor(coords)
+        frac = jnp.asarray(coords) - lo
+        lo = lo.astype(jnp.int32)
+        step = (frac > 0).astype(jnp.int32)
+        out = jnp.zeros((B, N, C))
+        for cx in (0, 1):
+            wx = frac[..., 0] if cx else 1 - frac[..., 0]
+            ox = step[..., 0] * r * r if cx else 0
+            for cy in (0, 1):
+                wy = frac[..., 1] if cy else 1 - frac[..., 1]
+                oy = step[..., 1] * r if cy else 0
+                for cz in (0, 1):
+                    wz = frac[..., 2] if cz else 1 - frac[..., 2]
+                    oz = step[..., 2] if cz else 0
+                    idx = lo[..., 0] * r * r + lo[..., 1] * r + lo[..., 2] + ox + oy + oz
+                    corner = jax.vmap(lambda f, i: f[i])(flat, idx)
+                    out = out + (wx * wy * wz)[..., None] * corner
+        return out
+
+    cot = rng.normal(size=(B, N, C)).astype(np.float32)
+    g1 = jax.grad(lambda g: jnp.sum(ops.trilinear_devoxelize(g, jnp.asarray(coords), r) * cot))(
+        jnp.asarray(grid)
+    )
+    g2 = jax.grad(lambda g: jnp.sum(plain(g) * cot))(jnp.asarray(grid))
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-4, atol=1e-5)

@@ -1,0 +1,112 @@
+"""Numerical parity against the REFERENCE torch model.
+
+Builds the reference PVCNN2Unet on CPU (CUDA extension wrappers stubbed
+with equivalent torch implementations), converts its weights into the
+flax tree, and compares full forward outputs on the same input.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir("/root/reference"), reason="reference repo not mounted"
+)
+
+TINY = {
+    "data": {"npoints": 256},
+    "model": {
+        "in_dim": 3, "extra_feature_channels": 0, "out_dim": 3,
+        "time_embed_dim": 16, "dropout": 0.0,
+        "PVD": {
+            "use_global_embedding": True, "global_embedding_dim": 64,
+            "feat_embed_dim": 8, "attention_type": "linear",
+            "attention_heads": 2, "attentions": [0, 0, 0, 1],
+            "channels": [8, 8, 16, 16, 32],
+            "voxel_resolutions": [8, 4, 4, 4],
+            "n_sa_blocks": [1, 1, 1, 1], "n_fp_blocks": [1, 1, 1, 1],
+            "radius": [0.2, 0.4, 0.8, 1.2], "out_mlp": 16,
+        },
+    },
+}
+
+
+@pytest.fixture(scope="module")
+def parity_setup():
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from p2p_bridge_tpu.models.unet_pvc import build_unet_from_config
+    from p2p_bridge_tpu.utils.config import Config
+    from p2p_bridge_tpu.utils.torch_compat import (
+        convert_torch_state_dict,
+        load_reference_model,
+    )
+
+    tmodel = load_reference_model(TINY)
+    cfg = Config(TINY)
+    fmodel = build_unet_from_config(cfg)
+    x = jnp.zeros((2, 256, 3), jnp.float32)
+    t = jnp.zeros((2,), jnp.float32)
+    template = fmodel.init({"params": jax.random.key(0)}, x, t, None, True)
+    variables = convert_torch_state_dict(tmodel.state_dict(), template)
+    return tmodel, fmodel, variables
+
+
+def test_all_weights_convert(parity_setup):
+    import jax
+
+    tmodel, fmodel, variables = parity_setup
+    # every torch parameter must have been consumed structurally: counts match
+    n_flax = sum(x.size for x in jax.tree.leaves(variables))
+    n_torch = sum(
+        v.numel() for k, v in tmodel.state_dict().items()
+    )
+    assert n_flax == n_torch
+
+
+def test_forward_matches_reference(parity_setup):
+    import torch
+    import jax.numpy as jnp
+
+    tmodel, fmodel, variables = parity_setup
+    rng = np.random.default_rng(0)
+    x = (rng.normal(size=(2, 3, 256)) * 0.5).astype(np.float32)
+    t = np.full((2,), 500.0, np.float32)
+
+    with torch.no_grad():
+        want = tmodel(torch.from_numpy(x), torch.from_numpy(t)).numpy()
+
+    got = fmodel.apply(
+        variables,
+        jnp.asarray(x.transpose(0, 2, 1)),  # [B, N, 3]
+        jnp.asarray(t),
+        None,
+        True,
+    )
+    got = np.asarray(got).transpose(0, 2, 1)  # back to [B, 3, N]
+    err = np.abs(got - want).max()
+    scale = np.abs(want).max()
+    assert err < 2e-3 * max(scale, 1.0), f"forward mismatch: max err {err}, scale {scale}"
+
+
+def test_forward_matches_reference_multiple_times(parity_setup):
+    """Different timesteps exercise the time-conditioning paths."""
+    import torch
+    import jax.numpy as jnp
+
+    tmodel, fmodel, variables = parity_setup
+    rng = np.random.default_rng(1)
+    x = (rng.normal(size=(1, 3, 256)) * 0.3).astype(np.float32)
+    for tval in (1.0, 250.0, 999.0):
+        t = np.full((1,), tval, np.float32)
+        with torch.no_grad():
+            want = tmodel(torch.from_numpy(x), torch.from_numpy(t)).numpy()
+        got = np.asarray(
+            fmodel.apply(variables, jnp.asarray(x.transpose(0, 2, 1)),
+                         jnp.asarray(t), None, True)
+        ).transpose(0, 2, 1)
+        err = np.abs(got - want).max()
+        assert err < 2e-3 * max(np.abs(want).max(), 1.0), (tval, err)

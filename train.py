@@ -32,6 +32,7 @@ from p2p_bridge_tpu.parallel.train_step import (
     jit_train_step,
     make_optimizer,
     make_train_step,
+    replicate_state,
     TrainState,
 )
 from p2p_bridge_tpu.utils.args import parse_args, setup_output_subdirs
@@ -113,6 +114,7 @@ def train(cfg) -> None:
                         accumulation_steps=accum, ema_decay=ema_decay),
         mesh,
     )
+    state = replicate_state(state, mesh)
 
     train_iter = save_iter(train_loader)
     logger.info("Setup training and evaluation iterators (devices: %d).",
