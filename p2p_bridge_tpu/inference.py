@@ -3,9 +3,11 @@ evaluate_objects.py CLIs).
 
 Port of reference evaluate_objects.py:70-128 / denoise_object.py:64-122:
 FPS seeds -> kNN patches -> joint normalization -> batched bridge
-sampling -> FPS back down to N points. All patches run as ONE batched
-scan-sampler call (the reference also batches them, :107-109), so the
-whole object denoise is a single XLA program per (N, patch_size) shape.
+sampling -> FPS back down to N points. The ENTIRE pipeline (both FPS
+passes, kNN patching, the multi-step scan sampler, recombination) is one
+cached jitted program per (N, patch_size, steps) shape, so a denoise
+call is a single host->device transfer, one executable launch, and a
+single device->host transfer.
 """
 
 from __future__ import annotations
@@ -17,6 +19,49 @@ import jax.numpy as jnp
 import numpy as np
 
 from .ops import furthest_point_sample, knn
+
+_PIPELINE_CACHE: dict = {}
+
+
+def _build_pipeline(bridge, N, patch_size, num_seeds, steps, clip_denoise,
+                    save_intermediate):
+    def pipeline(params, pcl):
+        # pcl [1, N, 3]
+        seed_idx = furthest_point_sample(pcl, num_seeds)  # [1, S]
+        seeds = jnp.take_along_axis(pcl, seed_idx[..., None], axis=1)
+        _, idx = knn(seeds, pcl, patch_size)  # [1, S, K]
+        patches = pcl[0][idx[0]]  # [S, K, 3]
+
+        # joint normalization: per-patch center, single global scale
+        # (evaluate_objects.py:103-106)
+        centers = jnp.mean(patches, axis=1, keepdims=True)
+        patches = patches - centers
+        scale = jnp.max(jnp.linalg.norm(patches, axis=-1))
+        patches = patches / scale
+
+        # inner jit inlines under the outer trace; also keeps duck-typed
+        # test bridges (which only define .sample) working
+        out = bridge.sample(
+            params, patches, steps=steps, clip_denoise=clip_denoise,
+            log_count=steps,
+        )
+
+        denoised = out["x_pred"] * scale + centers  # [S, K, 3]
+        flat = denoised.reshape(1, -1, 3)
+        fps_idx = furthest_point_sample(flat, N)
+        pcl_denoised = jnp.take_along_axis(flat, fps_idx[..., None], axis=1)[0]
+
+        steps_denoised = None
+        if save_intermediate:
+            chain = out["x_chain"] * scale + centers[:, None]  # [S, T, K, 3]
+            chain = jnp.moveaxis(chain, 1, 0)  # [T, S, K, 3]
+            T = chain.shape[0]
+            chain = chain.reshape(T, -1, 3)
+            cidx = furthest_point_sample(chain, N)
+            steps_denoised = jnp.take_along_axis(chain, cidx[..., None], axis=1)
+        return pcl_denoised, steps_denoised
+
+    return jax.jit(pipeline)
 
 
 def patch_based_denoise(
@@ -37,39 +82,16 @@ def patch_based_denoise(
     Returns:
       (denoised [N, 3], steps [T, N, 3] or None)
     """
-    pcl = jnp.asarray(pcl_noisy, jnp.float32)[None]  # [1, N, 3]
-    N = pcl.shape[1]
+    pcl = jnp.asarray(np.asarray(pcl_noisy, np.float32))[None]  # [1, N, 3]
+    N = int(pcl.shape[1])
     num_seeds = int(seed_k * N / patch_size)
 
-    seed_idx = furthest_point_sample(pcl, num_seeds)  # [1, S]
-    seeds = jnp.take_along_axis(pcl, seed_idx[..., None], axis=1)  # [1, S, 3]
-    _, idx = knn(seeds, pcl, patch_size)  # [1, S, K]
-    patches = pcl[0][idx[0]]  # [S, K, 3]
-
-    # joint normalization: per-patch center, single global scale
-    # (evaluate_objects.py:103-106)
-    centers = jnp.mean(patches, axis=1, keepdims=True)
-    patches = patches - centers
-    scale = jnp.max(jnp.linalg.norm(patches, axis=-1))
-    patches = patches / scale
-
-    out = bridge.sample(
-        params, patches, steps=steps, clip_denoise=clip_denoise, log_count=steps
-    )
-
-    denoised = out["x_pred"] * scale + centers  # [S, K, 3]
-    flat = denoised.reshape(1, -1, 3)
-    fps_idx = furthest_point_sample(flat, N)
-    pcl_denoised = np.asarray(jnp.take_along_axis(flat, fps_idx[..., None], axis=1)[0])
-
-    steps_denoised = None
-    if save_intermediate:
-        chain = out["x_chain"] * scale + centers[:, None]  # [S, T, K, 3]
-        chain = jnp.moveaxis(chain, 1, 0)  # [T, S, K, 3]
-        T = chain.shape[0]
-        chain = chain.reshape(T, -1, 3)
-        cidx = furthest_point_sample(chain, N)
-        steps_denoised = np.asarray(
-            jnp.take_along_axis(chain, cidx[..., None], axis=1)
+    key = (id(bridge), N, patch_size, num_seeds, steps, clip_denoise,
+           save_intermediate)
+    if key not in _PIPELINE_CACHE:
+        _PIPELINE_CACHE[key] = _build_pipeline(
+            bridge, N, patch_size, num_seeds, steps, clip_denoise,
+            save_intermediate,
         )
-    return pcl_denoised, steps_denoised
+    denoised, chain = _PIPELINE_CACHE[key](params, pcl)
+    return np.asarray(denoised), (None if chain is None else np.asarray(chain))
