@@ -45,6 +45,7 @@ def parity_setup():
         load_reference_model,
     )
 
+    torch.manual_seed(0)  # deterministic reference init (parity tolerance)
     tmodel = load_reference_model(TINY)
     cfg = Config(TINY)
     fmodel = build_unet_from_config(cfg)
