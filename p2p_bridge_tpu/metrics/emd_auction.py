@@ -56,32 +56,44 @@ def auction_emd(
         def body(state):
             i, assign, price = state
             value = -d2b - price[None, :]  # [N, M]
-            top2, top2_idx = jax.lax.top_k(value, 2)
-            best_obj = top2_idx[:, 0]  # [N]
-            incr = top2[:, 0] - top2[:, 1] + eps  # [N]
+            # top-2 via two max passes (TPU top_k is sort-based and slow)
+            best_obj = jnp.argmax(value, axis=1).astype(jnp.int32)  # [N]
+            v1 = jnp.take_along_axis(value, best_obj[:, None], axis=1)[:, 0]
+            masked = jnp.where(
+                jax.lax.broadcasted_iota(jnp.int32, (N, M), 1)
+                == best_obj[:, None],
+                NEG,
+                value,
+            )
+            v2 = jnp.max(masked, axis=1)
+            incr = v1 - v2 + eps  # [N]
             bidding = assign < 0
             bid = jnp.where(bidding, incr, NEG)  # [N]
 
-            # per-object winning bid + winner (masked [M, N] argmax)
-            obj_onehot = jax.nn.one_hot(best_obj, M, dtype=jnp.bool_)  # [N, M]
-            bids_mat = jnp.where(obj_onehot.T, bid[None, :], NEG)  # [M, N]
-            win_bid = jnp.max(bids_mat, axis=1)  # [M]
-            winner = jnp.argmax(bids_mat, axis=1).astype(jnp.int32)  # [M]
+            # per-object winning bid + winner via [N]-sized scatters
+            # (instead of an [M, N] masked-argmax matrix per iteration)
+            win_bid = jnp.full((M,), NEG).at[best_obj].max(bid)  # [M]
             has_bid = win_bid > NEG / 2
+            is_win_bid = bidding & (bid == win_bid[best_obj])
+            point_ids = jnp.arange(N, dtype=jnp.int32)
+            # lowest point index among tied winning bidders per object
+            winner = jnp.full((M,), N, jnp.int32).at[best_obj].min(
+                jnp.where(is_win_bid, point_ids, N)
+            )
 
             price = jnp.where(has_bid, price + win_bid, price)
             # evict previous owners of re-auctioned objects
             owned_obj_rebid = has_bid[assign.clip(0)] & (assign >= 0)
             assign = jnp.where(owned_obj_rebid, -1, assign)
             # award objects to winners
-            point_ids = jnp.arange(N, dtype=jnp.int32)
-            won = has_bid & (winner >= 0)
-            is_winner = jnp.zeros((N,), jnp.bool_).at[
-                jnp.where(won, winner, N)
-            ].set(True, mode="drop")
-            new_obj = jnp.full((N,), -1, jnp.int32).at[
-                jnp.where(won, winner, N)
-            ].set(jnp.arange(M, dtype=jnp.int32), mode="drop")
+            won = has_bid & (winner < N)
+            safe_winner = jnp.where(won, winner, N)
+            is_winner = jnp.zeros((N,), jnp.bool_).at[safe_winner].set(
+                True, mode="drop"
+            )
+            new_obj = jnp.full((N,), -1, jnp.int32).at[safe_winner].set(
+                jnp.arange(M, dtype=jnp.int32), mode="drop"
+            )
             assign = jnp.where(is_winner, new_obj, assign)
             return i + 1, assign, price
 
