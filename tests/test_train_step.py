@@ -1,0 +1,115 @@
+"""Training-step semantics: grad clip, accumulation, EMA warmup, state
+placement — on a small closed-form bridge (fast on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from p2p_bridge_tpu.models.p2pb import P2PBridge
+from p2p_bridge_tpu.models.schedules import BridgeSchedule
+from p2p_bridge_tpu.parallel.mesh import make_data_mesh, shard_batch
+from p2p_bridge_tpu.parallel.train_step import (
+    init_train_state,
+    jit_train_step,
+    make_optimizer,
+    make_train_step,
+    replicate_state,
+)
+from p2p_bridge_tpu.utils.config import Config
+from p2p_bridge_tpu.utils.ema import ema_init, ema_update
+
+
+class LinearNet:
+    def apply(self, params, xt, noise_levels, x_cond=None, deterministic=True,
+              rngs=None):
+        return params["w"] * xt + params["b"]
+
+
+@pytest.fixture(scope="module")
+def setup():
+    sched = BridgeSchedule.create(timesteps=100)
+    bridge = P2PBridge(model=LinearNet(), schedule=sched, ot_ode=True)
+    params = {"w": jnp.ones(()), "b": jnp.zeros(())}
+    cfg = Config({"training": {"optimizer": {"type": "AdamW", "lr": 1e-2,
+                                             "beta1": 0.9, "beta2": 0.999,
+                                             "weight_decay": 0.0},
+                               "scheduler": {"type": "constant"}}})
+    opt = make_optimizer(cfg)
+    rng = np.random.default_rng(0)
+    batch = {
+        "x_gt": jnp.asarray(rng.normal(size=(8, 16, 3)), jnp.float32),
+        "x_start": jnp.asarray(rng.normal(size=(8, 16, 3)), jnp.float32),
+    }
+    return bridge, opt, params, batch
+
+
+def test_step_reduces_loss(setup):
+    bridge, opt, params, batch = setup
+    step = make_train_step(bridge, opt, grad_clip=1.0)
+    state = init_train_state(params, opt, use_ema=True)
+    losses = []
+    for _ in range(20):
+        state, m = step(state, jax.random.key(0), batch)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0]
+    assert int(state.step) == 20
+
+
+def test_grad_clip_applied(setup):
+    bridge, opt, params, batch = setup
+    clip = 1e-3
+    step = make_train_step(bridge, opt, grad_clip=clip)
+    state = init_train_state(params, opt, use_ema=False)
+    # params barely move with a tiny clip + Adam normalization bounded
+    s1, m = step(state, jax.random.key(0), batch)
+    assert float(m["grad_norm"]) > clip  # raw norm was larger; clip engaged
+
+
+def test_accumulation_matches_full_batch_loss_scale(setup):
+    """accum=2 over the same data produces a loss that is the mean of the
+    two microbatch losses and finite grads of the same magnitude."""
+    bridge, opt, params, batch = setup
+    step1 = make_train_step(bridge, opt, grad_clip=None, accumulation_steps=1)
+    step2 = make_train_step(bridge, opt, grad_clip=None, accumulation_steps=2)
+    s1 = init_train_state(params, opt, use_ema=False)
+    s2 = init_train_state(params, opt, use_ema=False)
+    _, m1 = step1(s1, jax.random.key(1), batch)
+    _, m2 = step2(s2, jax.random.key(1), batch)
+    # same data overall; losses differ only via per-microbatch rng draws
+    assert np.isfinite(float(m2["loss"]))
+    assert abs(float(m1["loss"]) - float(m2["loss"])) < 1.0
+    assert float(m2["grad_norm"]) > 0
+
+
+def test_ema_warmup_semantics():
+    params = {"w": jnp.ones((3,))}
+    state = ema_init(params)
+    # copy phase: ema tracks params exactly for the first 100 updates
+    moved = {"w": jnp.full((3,), 2.0)}
+    for _ in range(5):
+        state = ema_update(state, moved)
+    np.testing.assert_allclose(state.params["w"], 2.0)
+    # after warmup: updates every 10 steps with warmed-up decay
+    state = state._replace(step=jnp.int32(200))
+    before = state.params["w"].copy()
+    state = ema_update(state, {"w": jnp.full((3,), 10.0)})  # step 201: no move
+    np.testing.assert_allclose(state.params["w"], before)
+    state = state._replace(step=jnp.int32(209))
+    state = ema_update(state, {"w": jnp.full((3,), 10.0)})  # step 210: moves
+    assert float(state.params["w"][0]) > 2.0
+    assert float(state.params["w"][0]) < 10.0
+
+
+def test_jit_train_step_on_mesh(setup):
+    bridge, opt, params, batch = setup
+    mesh = make_data_mesh()
+    step_fn = jit_train_step(make_train_step(bridge, opt, grad_clip=1.0), mesh)
+    state = replicate_state(init_train_state(params, opt, use_ema=True), mesh)
+    sharded = shard_batch(batch, mesh)
+    state, m = step_fn(state, jax.random.key(0), sharded)
+    assert np.isfinite(float(m["loss"]))
+    # state stays replicated (no implicit resharding)
+    state, m2 = step_fn(state, jax.random.key(0), sharded)
+    assert np.isfinite(float(m2["loss"]))
