@@ -4,17 +4,23 @@ The XLA while-loop FPS (ops/fps.py) pays per-iteration dispatch overhead
 (~0.5 ms measured) and minutes of compile time for large M; this kernel
 runs the whole M-iteration selection on-chip: the running point-to-set
 distance vector lives in VMEM and each iteration is a handful of VPU
-passes over [N] (distance update, min, max, argmax-via-min-reduction,
+passes over [NB, N] (distance update, min, max, argmax-via-min-reduction,
 one-hot gather of the newly selected point).
+
+The selection loop is inherently serial in M, so the kernel batches
+``_BATCH_TILE`` clouds per grid step with the batch dimension mapped to
+SUBLANES: every array in the kernel is a plain 2-D [NB, N] tile (Mosaic
+layout inference rejects the 3-D reshapes a [NB, nr, 128] layout needs).
+TPU grid steps execute sequentially on the core, so vectorizing over the
+batch inside one step divides the number of latency-bound iterations by
+NB. Selected indices are written by a full-row masked RMW against a lane
+iota — no dynamic lane indexing (unsupported by Mosaic).
 
 Semantics match the CUDA kernel (sampling.cu:86-174): first index is 0,
 then argmax of the running min-distance; ties resolve to the lowest
 index (same as jnp.argmax). Padding (N rounded up to 128 lanes) carries
-dists = -inf so it is never selected.
-
-Selected indices are written into an (M_rows, 128)-shaped output via
-dynamic-sublane row read-modify-writes (lane-dynamic scalar stores are
-not supported by Mosaic).
+dists = -inf so it is never selected; batch padding computes garbage
+that the caller slices off.
 """
 
 from __future__ import annotations
@@ -27,10 +33,16 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _LANES = 128
+_BATCH_TILE = 8
 
 
-def _fps_kernel(coords_ref, out_ref, dists_ref, *, num_samples, n_padded, n_real):
-    """One batch element per grid step.
+def _fps_kernel_single(coords_ref, out_ref, dists_ref, *, num_samples,
+                       n_padded, n_real):
+    """One batch element per grid step, points spread over sublanes.
+
+    Preferred at small B / large N (e.g. the B=1 50k-point recombination
+    FPS): the [nr, 128] layout fills all 8 sublanes, where the batched
+    kernel's [1, N] row would idle 7 of them.
 
     coords_ref: [1, 3, n_padded] VMEM (xyz planes)
     out_ref:    [1, m_rows, 128] int32 VMEM
@@ -48,7 +60,6 @@ def _fps_kernel(coords_ref, out_ref, dists_ref, *, num_samples, n_padded, n_real
 
     lane_ids = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
 
-    # init: +inf for real points, -inf for padding (never selected)
     dists_ref[:] = jnp.where(real, jnp.float32(jnp.inf), -jnp.float32(jnp.inf))
 
     def store(j, idx):
@@ -60,7 +71,6 @@ def _fps_kernel(coords_ref, out_ref, dists_ref, *, num_samples, n_padded, n_real
     store(0, jnp.int32(0))
 
     def body(j, last_idx):
-        # gather the last selected point via one-hot reduction
         sel = flat_ids == last_idx
         lx = jnp.max(jnp.where(sel, x, -jnp.inf))
         ly = jnp.max(jnp.where(sel, y, -jnp.inf))
@@ -70,7 +80,6 @@ def _fps_kernel(coords_ref, out_ref, dists_ref, *, num_samples, n_padded, n_real
         nd = jnp.minimum(dists_ref[:], d)
         dists_ref[:] = jnp.where(real, nd, -jnp.float32(jnp.inf))
 
-        # argmax with first-occurrence tie-break: max, then min index at max
         best = jnp.max(dists_ref[:])
         idx = jnp.min(jnp.where(dists_ref[:] == best, flat_ids, jnp.int32(2**30)))
         store(j, idx)
@@ -79,37 +88,122 @@ def _fps_kernel(coords_ref, out_ref, dists_ref, *, num_samples, n_padded, n_real
     jax.lax.fori_loop(1, num_samples, body, jnp.int32(0))
 
 
-@partial(jax.jit, static_argnums=(1,))
-def furthest_point_sample_pallas(coords: jnp.ndarray, num_samples: int) -> jnp.ndarray:
+def _fps_kernel(coords_ref, out_ref, dists_ref, *, num_samples, n_padded,
+                n_real, nb, m_padded):
+    """NB batch elements per grid step; batch lives in sublanes.
+
+    coords_ref: [NB, 3 * n_padded] VMEM ([x | y | z] planes concatenated)
+    out_ref:    [NB, m_padded] int32 VMEM
+    dists_ref:  [NB, n_padded] f32 VMEM scratch
+    """
+    n = n_padded
+    x = coords_ref[:, 0:n]
+    y = coords_ref[:, n:2 * n]
+    z = coords_ref[:, 2 * n:3 * n]
+
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)  # [1, N]
+    real = col_ids < n_real
+    out_cols = jax.lax.broadcasted_iota(jnp.int32, (1, m_padded), 1)
+
+    # init: +inf for real points, -inf for padding (never selected)
+    dists_ref[:] = jnp.broadcast_to(
+        jnp.where(real, jnp.float32(jnp.inf), -jnp.float32(jnp.inf)), (nb, n)
+    )
+    out_ref[:] = jnp.zeros((nb, m_padded), jnp.int32)  # slot 0 := index 0
+
+    def body(j, last_idx):
+        # gather each batch row's last selected point via one-hot reduction
+        sel = col_ids == last_idx  # [NB, N]
+        lx = jnp.max(jnp.where(sel, x, -jnp.inf), axis=1, keepdims=True)
+        ly = jnp.max(jnp.where(sel, y, -jnp.inf), axis=1, keepdims=True)
+        lz = jnp.max(jnp.where(sel, z, -jnp.inf), axis=1, keepdims=True)
+
+        d = (x - lx) ** 2 + (y - ly) ** 2 + (z - lz) ** 2
+        nd = jnp.minimum(dists_ref[:], d)
+        nd = jnp.where(real, nd, -jnp.float32(jnp.inf))
+        dists_ref[:] = nd
+
+        # argmax with first-occurrence tie-break: max, then min index at max
+        best = jnp.max(nd, axis=1, keepdims=True)  # [NB, 1]
+        idx = jnp.min(
+            jnp.where(nd == best, jnp.broadcast_to(col_ids, (nb, n)),
+                      jnp.int32(2**30)),
+            axis=1, keepdims=True,
+        )  # [NB, 1]
+        out_ref[:] = jnp.where(out_cols == j, idx, out_ref[:])
+        return idx
+
+    jax.lax.fori_loop(1, num_samples, body, jnp.zeros((nb, 1), jnp.int32))
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def furthest_point_sample_pallas(
+    coords: jnp.ndarray, num_samples: int, interpret: bool = False
+) -> jnp.ndarray:
     """FPS indices via the Pallas kernel.
 
     Args:
       coords: [B, N, 3] float coords.
       num_samples: M (static).
+      interpret: run in Pallas interpreter mode (CPU testing).
     Returns:
       [B, M] int32 indices.
     """
     coords = jax.lax.stop_gradient(coords.astype(jnp.float32))
     B, N, _ = coords.shape
     n_padded = ((N + _LANES - 1) // _LANES) * _LANES
-    m_rows = (num_samples + _LANES - 1) // _LANES
     planes = jnp.swapaxes(coords, 1, 2)  # [B, 3, N]
-    if n_padded != N:
-        planes = jnp.pad(planes, ((0, 0), (0, 0), (0, n_padded - N)))
+
+    if B < 4:
+        # small batch: per-element kernel, points across sublanes
+        m_rows = (num_samples + _LANES - 1) // _LANES
+        if n_padded != N:
+            planes = jnp.pad(planes, ((0, 0), (0, 0), (0, n_padded - N)))
+        kernel = partial(
+            _fps_kernel_single, num_samples=num_samples, n_padded=n_padded,
+            n_real=N,
+        )
+        out = pl.pallas_call(
+            kernel,
+            grid=(B,),
+            in_specs=[
+                pl.BlockSpec((1, 3, n_padded), lambda b: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, m_rows, _LANES), lambda b: (b, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((B, m_rows, _LANES), jnp.int32),
+            scratch_shapes=[
+                pltpu.VMEM((n_padded // _LANES, _LANES), jnp.float32)
+            ],
+            interpret=interpret,
+        )(planes)
+        return out.reshape(B, m_rows * _LANES)[:, :num_samples]
+
+    nb = min(_BATCH_TILE, B)
+    b_padded = ((B + nb - 1) // nb) * nb
+    m_padded = ((num_samples + _LANES - 1) // _LANES) * _LANES
+    if n_padded != N or b_padded != B:
+        planes = jnp.pad(
+            planes, ((0, b_padded - B), (0, 0), (0, n_padded - N))
+        )
+    planes = planes.reshape(b_padded, 3 * n_padded)  # [x | y | z]
 
     kernel = partial(
-        _fps_kernel, num_samples=num_samples, n_padded=n_padded, n_real=N
+        _fps_kernel, num_samples=num_samples, n_padded=n_padded, n_real=N,
+        nb=nb, m_padded=m_padded,
     )
     out = pl.pallas_call(
         kernel,
-        grid=(B,),
+        grid=(b_padded // nb,),
         in_specs=[
-            pl.BlockSpec((1, 3, n_padded), lambda b: (b, 0, 0),
+            pl.BlockSpec((nb, 3 * n_padded), lambda g: (g, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, m_rows, _LANES), lambda b: (b, 0, 0),
+        out_specs=pl.BlockSpec((nb, m_padded), lambda g: (g, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, m_rows, _LANES), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((n_padded // _LANES, _LANES), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((b_padded, m_padded), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((nb, n_padded), jnp.float32)],
+        interpret=interpret,
     )(planes)
-    return out.reshape(B, m_rows * _LANES)[:, :num_samples]
+    return out[:B, :num_samples]
