@@ -30,11 +30,9 @@ from flax import linen as nn
 
 from ..ops import (
     avg_voxelize,
-    ball_query,
+    ball_query_group,
     batched_take,
     furthest_point_sample,
-    group,
-    group_relative,
     nearest_neighbor_interpolate,
     normalize_coords_to_voxels,
     trilinear_devoxelize,
@@ -302,15 +300,19 @@ class PointNetSAModule(nn.Module):
         centers = batched_take(
             coords, furthest_point_sample(coords, s.num_centers)
         )  # [B, M, 3]
-        idx = ball_query(centers, coords, s.radius, s.num_neighbors)  # [B, M, K]
-        # single gather of [coords | features]: same rows, half the
-        # row-gather traffic of separate rel-coords + feature gathers
+        # fused radius query + gather of [coords | features] rows: one
+        # Pallas kernel on TPU (selection + gather stay in VMEM), the
+        # ball_query -> group composition elsewhere
         aug = jnp.concatenate(
             [coords.astype(features.dtype), features], axis=-1
         )
-        both = group(aug, idx)  # [B, M, K, 3 + C]
+        both, _ = ball_query_group(
+            centers, coords, aug, s.radius, s.num_neighbors
+        )  # [B, M, K, 3 + C]
         rel = both[..., :3] - centers[:, :, None, :].astype(both.dtype)
-        grouped = jnp.concatenate([rel, both[..., 3:]], axis=-1)
+        grouped = jnp.concatenate(
+            [rel, both[..., 3:]], axis=-1
+        ).astype(features.dtype)
         h = SharedMLP(
             out_channels=s.mlp_channels, use_cond=self.use_cond, name="mlp",
             dtype=self.dtype,

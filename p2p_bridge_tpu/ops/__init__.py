@@ -6,6 +6,7 @@ ops/common.py. Each op documents the CUDA kernel it mirrors.
 """
 
 from .ball_query import ball_query
+from .fused_group import ball_query_group
 from .common import batched_take, pairwise_sqdist
 from .devoxelize import trilinear_devoxelize
 from .fps import (
@@ -20,6 +21,7 @@ from .voxelize import avg_voxelize, flat_voxel_index, normalize_coords_to_voxels
 
 __all__ = [
     "ball_query",
+    "ball_query_group",
     "batched_take",
     "pairwise_sqdist",
     "trilinear_devoxelize",

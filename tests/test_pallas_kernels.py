@@ -42,3 +42,77 @@ def test_fps_pallas_m_spanning_rows(rng):
     want = np.asarray(_furthest_point_sample_xla(coords, 200))
     got = np.asarray(fk.furthest_point_sample_pallas(coords, 200))
     np.testing.assert_array_equal(got, want)
+
+
+def test_fps_pallas_batched_path(rng):
+    # B >= 4 takes the sublane-batched kernel
+    coords = jnp.asarray(rng.normal(size=(9, 300, 3)), jnp.float32)
+    want = np.asarray(_furthest_point_sample_xla(coords, 96))
+    got = np.asarray(fk.furthest_point_sample_pallas(coords, 96))
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.fixture
+def interpret_neighborhood(monkeypatch):
+    import p2p_bridge_tpu.ops.pallas.neighborhood_kernel as nk
+
+    orig = pl.pallas_call
+
+    def patched(*args, **kwargs):
+        kwargs["interpret"] = True
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(nk.pl, "pallas_call", patched)
+    return nk
+
+
+@pytest.mark.parametrize(
+    "B,N,M,K,C,r",
+    [
+        (2, 300, 64, 32, 35, 0.2),   # single-vreg packed hi/lo
+        (2, 150, 32, 16, 131, 0.4),  # aligned-halves layout
+        (1, 40, 8, 32, 7, 0.9),      # K > in-ball counts: pad replication
+        (1, 64, 8, 8, 5, 0.01),      # mostly-empty balls: index-0 fill
+    ],
+)
+def test_ball_query_group_pallas_matches_ops(
+    rng, interpret_neighborhood, B, N, M, K, C, r
+):
+    from p2p_bridge_tpu.ops import ball_query, group
+
+    nk = interpret_neighborhood
+    pts = jnp.asarray(rng.random((B, N, 3)), jnp.float32)
+    sel = rng.integers(0, N, (B, M))
+    cen = jnp.take_along_axis(pts, jnp.asarray(sel)[..., None], axis=1)
+    aug = jnp.asarray(rng.normal(size=(B, N, C)), jnp.float32)
+
+    got_g, got_i = nk.ball_query_group_pallas(cen, pts, aug, r, K)
+    want_i = ball_query(cen, pts, r, K)
+    want_g = group(aug, want_i)
+
+    np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+    scale = float(jnp.max(jnp.abs(want_g))) + 1e-12
+    np.testing.assert_allclose(
+        np.asarray(got_g), np.asarray(want_g), atol=2e-5 * scale
+    )
+
+
+def test_fused_ball_group_custom_vjp_matches_autodiff(rng):
+    """The TPU custom backward (scatter-add) against autodiff of the
+    XLA gather composition, on shared cotangents."""
+    from p2p_bridge_tpu.ops import ball_query, group
+    from p2p_bridge_tpu.ops.fused_group import _fused_tpu_bwd
+
+    B, N, M, K, C, r = 2, 120, 24, 8, 6, 0.3
+    pts = jnp.asarray(rng.random((B, N, 3)), jnp.float32)
+    cen = pts[:, :M]
+    aug = jnp.asarray(rng.normal(size=(B, N, C)), jnp.float32)
+
+    idx = ball_query(cen, pts, r, K)
+    ct = jnp.asarray(rng.normal(size=(B, M, K, C)), jnp.float32)
+
+    _, vjp = jax.vjp(lambda a: group(a, idx), aug)
+    (want,) = vjp(ct)
+
+    _, _, got = _fused_tpu_bwd(r, K, (idx, N, aug.dtype), (ct, None))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
