@@ -97,11 +97,17 @@ class AdaGN(nn.Module):
 
 class SE(nn.Module):
     """Squeeze-excite over a voxel grid [B, r, r, r, C]
-    (reference models/modules.py:362-378)."""
+    (reference models/modules.py:362-378).
+
+    With ``return_gate=True`` only the per-(batch, channel) gate [B, C] is
+    returned; since the gate is constant over voxels it commutes with the
+    (linear) trilinear devoxelization, so PVConv applies it on the point
+    cloud instead of the r^3 grid — identical math, 16x less bandwidth."""
 
     channels: int
     reduction: int = 8
     dtype: type = jnp.float32
+    return_gate: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -111,6 +117,8 @@ class SE(nn.Module):
         h = nn.relu(h)
         h = nn.Dense(self.channels, use_bias=False, dtype=self.dtype)(h)
         gate = jax.nn.sigmoid(h)
+        if self.return_gate:
+            return gate
         return x * gate[:, None, None, None, :]
 
 

@@ -244,6 +244,10 @@ class PVConv(nn.Module):
     def __call__(self, features, coords, cond=None, deterministic=True):
         s = self.spec
         r = s.resolution
+        # cast to the compute dtype up front: flax modules would cast
+        # anyway, and a bf16 grid keeps voxelize on the fast MXU path and
+        # halves the gather/SE bandwidth downstream
+        features = features.astype(self.dtype)
         vox, cont = normalize_coords_to_voxels(coords, r)
         grid = avg_voxelize(features, vox, r)  # [B, r, r, r, C_in]
 
@@ -265,10 +269,16 @@ class PVConv(nn.Module):
         else:
             h = nn.GroupNorm(num_groups=8, epsilon=1e-5, name="vnorm2",
                              dtype=self.dtype)(h)
+        gate = None
         if self.use_se:
-            h = SE(channels=s.out_channels, dtype=self.dtype)(h)
+            # gate only: SE's per-(b, c) scale commutes with the linear
+            # devoxelize, so it is applied on [B, N, C] points below
+            gate = SE(channels=s.out_channels, dtype=self.dtype,
+                      return_gate=True)(h)
 
         fused = trilinear_devoxelize(h, cont, r)  # [B, N, C_out]
+        if gate is not None:
+            fused = fused * gate[:, None, :].astype(fused.dtype)
         # point branch (add_point_feat default True, pvcnn.py:295-302)
         fused = fused + SharedMLP(
             out_channels=(s.out_channels,), use_cond=self.use_cond,

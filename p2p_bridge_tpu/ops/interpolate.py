@@ -25,17 +25,18 @@ from .grouping import group
 
 def _bottom_k_iterative(d2: jnp.ndarray, k: int):
     """k smallest values+indices along the last axis via k masked
-    min-passes (first-occurrence tie-break, same as top_k of -d2)."""
+    min-passes (first-occurrence tie-break, same as top_k of -d2).
+    min+argmin instead of argmin+take_along_axis: row-gathers are slow
+    on TPU, reductions are bandwidth-speed."""
     work = d2
     vals, idxs = [], []
+    iota = jax.lax.broadcasted_iota(jnp.int32, d2.shape, d2.ndim - 1)
     for _ in range(k):
         i = jnp.argmin(work, axis=-1)
-        v = jnp.take_along_axis(work, i[..., None], axis=-1)[..., 0]
+        v = jnp.min(work, axis=-1)
         vals.append(-v)
         idxs.append(i)
-        work = jnp.where(
-            jax.nn.one_hot(i, d2.shape[-1], dtype=bool), jnp.inf, work
-        )
+        work = jnp.where(i[..., None] == iota, jnp.inf, work)
     return jnp.stack(vals, axis=-1), jnp.stack(idxs, axis=-1)
 
 
@@ -87,5 +88,39 @@ def nearest_neighbor_interpolate(
     """
     w, idx = three_nn(points, centers)
     w = jax.lax.stop_gradient(w)
-    neighbors = group(features, idx)  # [B, N, 3, C]
-    return jnp.sum(neighbors * w[..., None].astype(neighbors.dtype), axis=2)
+    if jax.devices()[0].platform != "tpu":
+        neighbors = group(features, idx)  # [B, N, 3, C]
+        return jnp.sum(neighbors * w[..., None].astype(neighbors.dtype), axis=2)
+
+    # TPU: XLA row-gathers are ~10x off bandwidth; since M (the coarse
+    # level) is small, scatter the 3 IDW weights into a dense [B, N, M]
+    # matrix and ride the MXU: out = W @ features. The backward is the
+    # transpose matmul (vs. the CUDA atomic scatter,
+    # neighbor_interpolate.cu:109-130).
+    B, M, C = features.shape
+    iota = jnp.arange(M, dtype=jnp.int32)
+    W = jnp.zeros(idx.shape[:2] + (M,), jnp.float32)
+    for j in range(idx.shape[-1]):
+        W = W + jnp.where(idx[..., j, None] == iota, w[..., j, None], 0.0)
+    if features.dtype == jnp.bfloat16:
+        out = jnp.einsum(
+            "bnm,bmc->bnc",
+            W.astype(jnp.bfloat16),
+            features,
+            preferred_element_type=jnp.float32,
+        )
+        return out.astype(features.dtype)
+    # f32 path: bf16 hi/lo split of both operands (drop the lo*lo term)
+    fh = features.astype(jnp.bfloat16)
+    fl = (features - fh.astype(jnp.float32)).astype(jnp.bfloat16)
+    Wh = W.astype(jnp.bfloat16)
+    Wl = (W - Wh.astype(jnp.float32)).astype(jnp.bfloat16)
+    fcat = jnp.concatenate([fh, fl], axis=-1)  # [B, M, 2C]
+    hi_part = jnp.einsum(
+        "bnm,bmc->bnc", Wh, fcat, preferred_element_type=jnp.float32
+    )
+    lo_part = jnp.einsum(
+        "bnm,bmc->bnc", Wl, fh, preferred_element_type=jnp.float32
+    )
+    out = hi_part[..., :C] + hi_part[..., C:] + lo_part
+    return out.astype(features.dtype)

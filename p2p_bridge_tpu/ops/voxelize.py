@@ -46,8 +46,9 @@ def avg_voxelize(
         reduction order) — default off TPU;
       * one-hot MXU matmul (TPU default): the one-hot generator fuses
         into the matmul operand, ~20x faster than XLA scatter at
-        (B=73, N=2048, r=32). Inputs round to bf16 (~1e-3 rel);
-        accumulation and counts are exact f32.
+        (B=73, N=2048, r=32). bf16 inputs are used as-is (lossless: the
+        one-hot is exact and the MXU accumulates in f32); f32 inputs ride
+        a bf16 hi/lo split (~6e-6 rel). Counts are exact.
 
     Args:
       features: [B, N, C] point features.
@@ -79,28 +80,40 @@ def avg_voxelize(
         return grid.reshape(B, r, r, r, C).astype(features.dtype)
 
     # MXU path: grid[b, v, c] = sum_n [idx==v] * feat; count channel added.
-    # HIGHEST precision keeps full f32 products (max err ~2e-7 vs the
-    # scatter, 6ms at B=73/N=2048/r=32 vs 22ms for XLA scatter).
-    feat_c = jnp.concatenate(
-        [features.astype(jnp.float32), jnp.ones((B, N, 1), jnp.float32)], axis=-1
-    )
+    # The one-hot operand is exact in bf16 and the MXU accumulates in f32,
+    # so bf16 features lose nothing; f32 features ride a bf16 hi/lo split
+    # (~6e-6 rel error, 2x the FLOPs but still ~3x faster than one
+    # f32-HIGHEST pass). Measured alternatives at B=73/N=2048/r=32: XLA
+    # scatter ~22 ms, f32-HIGHEST one-hot ~10 ms, a factorized
+    # onehot_xy (x) onehot_z formulation (16x less one-hot HBM traffic)
+    # ~+10 ms slower end to end than this — XLA pipelines the fused
+    # compare+convert chunks through the MXU better than it handles the
+    # factorization's [B, N, r*C] intermediate.
+    f32_in = features.dtype == jnp.float32
+    ones = jnp.ones((B, N, 1), jnp.bfloat16)
+    if f32_in:
+        hi = features.astype(jnp.bfloat16)
+        lo = (features - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        feat_c = jnp.concatenate([hi, lo, ones], axis=-1)
+    else:
+        feat_c = jnp.concatenate([features.astype(jnp.bfloat16), ones], axis=-1)
     chunk = min(r3, 2048)
     parts = []
     bins = jnp.arange(chunk)
     for s in range(0, r3, chunk):
-        onehot = (idx[:, :, None] == (s + bins)[None, None, :]).astype(jnp.float32)
+        onehot = (idx[:, :, None] == (s + bins)[None, None, :]).astype(jnp.bfloat16)
         parts.append(
             jnp.einsum(
                 "bnv,bnc->bvc",
                 onehot,
                 feat_c,
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
             )
         )
-    acc = jnp.concatenate(parts, axis=1)  # [B, r^3, C+1]
-    cnt = jax.lax.stop_gradient(jnp.maximum(acc[..., C], 1.0))
-    grid = acc[..., :C] / cnt[..., None]
+    acc = jnp.concatenate(parts, axis=1)
+    cnt = jax.lax.stop_gradient(jnp.maximum(acc[..., -1], 1.0))
+    summed = acc[..., :C] + acc[..., C:-1] if f32_in else acc[..., :C]
+    grid = summed / cnt[..., None]
     return grid.reshape(B, r, r, r, C).astype(features.dtype)
 
 
