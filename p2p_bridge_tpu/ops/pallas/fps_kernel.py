@@ -154,8 +154,12 @@ def furthest_point_sample_pallas(
     n_padded = ((N + _LANES - 1) // _LANES) * _LANES
     planes = jnp.swapaxes(coords, 1, 2)  # [B, 3, N]
 
-    if B < 4:
-        # small batch: per-element kernel, points across sublanes
+    if B < 4 or N >= 16384:
+        # small batch OR large N: per-element kernel, points across
+        # sublanes. At large N the selection loop is VPU-throughput-bound
+        # (not latency-bound), so the batched [NB, N] row layout cannot
+        # win — it just wastes sublanes (measured 2.4x slower than serial
+        # per-cloud at 4 x 150k points).
         m_rows = (num_samples + _LANES - 1) // _LANES
         if n_padded != N:
             planes = jnp.pad(planes, ((0, 0), (0, 0), (0, n_padded - N)))
@@ -193,6 +197,10 @@ def furthest_point_sample_pallas(
         _fps_kernel, num_samples=num_samples, n_padded=n_padded, n_real=N,
         nb=nb, m_padded=m_padded,
     )
+    # buffers: coords 3*NB*N f32 + dists NB*N + out NB*M, plus ~8 [NB, N]
+    # temporaries in the loop body; the default scoped limit (~25 MB) is
+    # too small for e.g. 4 clouds x 150k points (object recombination)
+    vmem_need = (4 * nb * n_padded + nb * m_padded) * 4 + 8 * nb * n_padded * 4
     out = pl.pallas_call(
         kernel,
         grid=(b_padded // nb,),
@@ -204,6 +212,9 @@ def furthest_point_sample_pallas(
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b_padded, m_padded), jnp.int32),
         scratch_shapes=[pltpu.VMEM((nb, n_padded), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(max(vmem_need, 32 * 2**20), 100 * 2**20),
+        ),
         interpret=interpret,
     )(planes)
     return out[:B, :num_samples]
