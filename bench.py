@@ -66,6 +66,18 @@ def check_pallas_fps():
             f"{(got != want).sum()} mismatches"
         )
 
+    # auction-EMD kernel vs the XLA formulation (same f32 math)
+    from p2p_bridge_tpu.metrics.emd_auction import _auction_emd_xla
+    from p2p_bridge_tpu.ops.common import pairwise_sqdist
+    from p2p_bridge_tpu.ops.pallas.auction_kernel import auction_emd_pallas
+
+    x1 = jnp.asarray(rng.normal(size=(2, 1024, 3)), jnp.float32)
+    x2 = x1 + 0.05 * jnp.asarray(rng.normal(size=(2, 1024, 3)), jnp.float32)
+    _, a_ref = _auction_emd_xla(x1, x2, eps=0.01, iters=100)
+    _, a_k = auction_emd_pallas(pairwise_sqdist(x1, x2), 0.01, 100)
+    mismatch = (np.asarray(a_ref) != np.asarray(a_k)).mean()
+    assert mismatch < 0.01, f"Pallas auction regression: {mismatch:.3f} mismatched"
+
 
 def main():
     cfg = Config.load("configs/PVDS_PUNet.yaml")

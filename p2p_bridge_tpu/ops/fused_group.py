@@ -36,11 +36,13 @@ def _fused_tpu(centers, points, aug, radius, num_neighbors):
 
 def _fused_tpu_fwd(centers, points, aug, radius, num_neighbors):
     gathered, idx = _fused_tpu(centers, points, aug, radius, num_neighbors)
-    return (gathered, idx), (idx, aug.shape[1], aug.dtype)
+    # dtype carrier: a 0-size array (residuals must be JAX types)
+    proto = jnp.zeros((0,), aug.dtype)
+    return (gathered, idx), (idx, aug.shape[1], proto)
 
 
 def _fused_tpu_bwd(radius, num_neighbors, res, cts):
-    idx, n, aug_dtype = res
+    idx, n, proto = res
     g, _ = cts  # idx cotangent is zero (int output)
     C = g.shape[-1]
 
@@ -49,7 +51,7 @@ def _fused_tpu_bwd(radius, num_neighbors, res, cts):
             g_b.reshape(-1, C)
         )
 
-    d_aug = jax.vmap(scatter_one)(g, idx).astype(aug_dtype)
+    d_aug = jax.vmap(scatter_one)(g, idx).astype(proto.dtype)
     return None, None, d_aug
 
 

@@ -86,6 +86,7 @@ def make_train_step(
     grad_clip: Optional[float] = 1.0,
     accumulation_steps: int = 1,
     ema_decay: float = 0.999,
+    align_cfg: Optional[dict] = None,
 ):
     """Build the jittable train step.
 
@@ -94,7 +95,25 @@ def make_train_step(
     where each batch leaf is [accum * B, N, C]; with accumulation the
     leading axis is split and scanned (microbatch semantics identical to
     train.py:115-129: losses averaged, grads summed/averaged).
+
+    align_cfg: for PUNet, {"eps", "iters"} fuses the auction-EMD
+    alignment of x_gt onto x_start (reference train.py:72-85 +
+    dataloaders/punet.py:310-318) INTO this program: on TPU the
+    VMEM-resident auction kernel runs in ~15 ms vs ~0.7 s for the
+    round-1 host-round-trip path (device compute + 2 tunnel transfers).
     """
+
+    def maybe_align(batch):
+        if align_cfg is None:
+            return batch
+        from ..metrics import align_clean_to_noisy
+
+        gt = align_clean_to_noisy(
+            batch["x_start"], batch["x_gt"],
+            eps=align_cfg.get("eps", 0.01),
+            iters=align_cfg.get("iters", 100),
+        )
+        return dict(batch, x_gt=gt)
 
     def loss_for(params, rng, batch):
         return bridge.loss_fn(
@@ -108,6 +127,7 @@ def make_train_step(
 
     def train_step(state: TrainState, rng, batch):
         rng = jax.random.fold_in(rng, state.step)
+        batch = maybe_align(batch)
 
         if accumulation_steps > 1:
             def split(x):

@@ -150,3 +150,32 @@ def test_cd_unit_sphere_zero_identical(rng):
     x = rng.normal(size=(1, 64, 3)).astype(np.float32)
     c1, c2 = M.cd_unit_sphere(x, x)
     assert c1 < 1e-6 and c2 < 1e-6
+
+
+def test_auction_pallas_kernel_matches_xla(rng):
+    """The VMEM-resident Pallas auction (interpret mode on CPU) must
+    reproduce the XLA formulation bit-for-bit on assignments."""
+    from p2p_bridge_tpu.ops.common import pairwise_sqdist
+    from p2p_bridge_tpu.ops.pallas.auction_kernel import auction_emd_pallas
+
+    x1 = jnp.asarray(rng.normal(size=(2, 256, 3)), jnp.float32)
+    x2 = x1 + 0.05 * jnp.asarray(rng.normal(size=(2, 256, 3)), jnp.float32)
+    d_ref, a_ref = M.auction_emd(x1, x2, eps=0.01, iters=100)
+    d_k, a_k = auction_emd_pallas(pairwise_sqdist(x1, x2), 0.01, 100,
+                                  interpret=True)
+    np.testing.assert_array_equal(np.asarray(a_ref), np.asarray(a_k))
+    # dist values may differ at f32 ulp level (different fusion contexts)
+    np.testing.assert_allclose(np.asarray(d_ref), np.asarray(d_k), atol=1e-5)
+
+
+def test_auction_pallas_budget_exhausted_fallback(rng):
+    """Greedy fallback parity when the iteration budget runs out."""
+    from p2p_bridge_tpu.ops.common import pairwise_sqdist
+    from p2p_bridge_tpu.ops.pallas.auction_kernel import auction_emd_pallas
+
+    x1 = jnp.asarray(rng.normal(size=(1, 256, 3)), jnp.float32)
+    x2 = jnp.asarray(rng.normal(size=(1, 256, 3)), jnp.float32)
+    _, a_ref = M.auction_emd(x1, x2, eps=0.01, iters=3)
+    _, a_k = auction_emd_pallas(pairwise_sqdist(x1, x2), 0.01, 3,
+                                interpret=True)
+    np.testing.assert_array_equal(np.asarray(a_ref), np.asarray(a_k))

@@ -114,5 +114,6 @@ def test_fused_ball_group_custom_vjp_matches_autodiff(rng):
     _, vjp = jax.vjp(lambda a: group(a, idx), aug)
     (want,) = vjp(ct)
 
-    _, _, got = _fused_tpu_bwd(r, K, (idx, N, aug.dtype), (ct, None))
+    proto = jnp.zeros((0,), aug.dtype)  # dtype carrier, as in _fused_tpu_fwd
+    _, _, got = _fused_tpu_bwd(r, K, (idx, N, proto), (ct, None))
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)

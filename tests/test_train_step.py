@@ -113,3 +113,51 @@ def test_jit_train_step_on_mesh(setup):
     # state stays replicated (no implicit resharding)
     state, m2 = step_fn(state, jax.random.key(0), sharded)
     assert np.isfinite(float(m2["loss"]))
+
+
+def test_train_step_fused_alignment():
+    """align_cfg fuses the PUNet EMD alignment into the step: the loss
+    must equal running the host-side alignment then the plain step.
+    (Self-contained: the module fixture's arrays may have been donated
+    by the mesh test.)"""
+    from p2p_bridge_tpu.metrics import align_clean_to_noisy
+
+    sched = BridgeSchedule.create(timesteps=100)
+    bridge = P2PBridge(model=LinearNet(), schedule=sched, ot_ode=True)
+    params = {"w": jnp.ones(()), "b": jnp.zeros(())}
+    cfg = Config({"training": {"optimizer": {"type": "AdamW", "lr": 1e-2,
+                                             "beta1": 0.9, "beta2": 0.999,
+                                             "weight_decay": 0.0},
+                               "scheduler": {"type": "constant"}}})
+    opt = make_optimizer(cfg)
+    rng0 = np.random.default_rng(0)
+    batch = {
+        "x_gt": jnp.asarray(rng0.normal(size=(8, 16, 3)), jnp.float32),
+        "x_start": jnp.asarray(rng0.normal(size=(8, 16, 3)), jnp.float32),
+    }
+    # make x_gt a shuffled version of a cloud near x_start so alignment
+    # actually has to undo the permutation
+    perm = np.random.default_rng(3).permutation(batch["x_gt"].shape[1])
+    shuffled = {
+        "x_start": batch["x_start"],
+        "x_gt": batch["x_gt"][:, perm],
+    }
+    cfgd = {"eps": 0.01, "iters": 100}
+
+    fused = make_train_step(bridge, opt, grad_clip=1.0, align_cfg=cfgd)
+    s1 = init_train_state(params, opt, use_ema=False)
+    _, m_fused = jax.jit(fused)(s1, jax.random.key(0), shuffled)
+
+    aligned = {
+        "x_start": shuffled["x_start"],
+        "x_gt": align_clean_to_noisy(
+            jnp.asarray(shuffled["x_start"]), jnp.asarray(shuffled["x_gt"]),
+            eps=0.01, iters=100,
+        ),
+    }
+    plain = make_train_step(bridge, opt, grad_clip=1.0)
+    s2 = init_train_state(params, opt, use_ema=False)
+    _, m_plain = jax.jit(plain)(s2, jax.random.key(0), aligned)
+    np.testing.assert_allclose(
+        float(m_fused["loss"]), float(m_plain["loss"]), rtol=1e-5
+    )

@@ -79,17 +79,13 @@ def train(cfg) -> None:
             state = state._replace(step=jnp.int32(start_step))
             logger.info("Resumed from step %d", start_step)
 
-    # PUNet on-the-fly EMD alignment (train.py:72-85)
-    align_fn = None
+    # PUNet on-the-fly EMD alignment (reference train.py:72-85,
+    # eps=0.01 iters=100 per dataloaders/punet.py:315). Fused into the
+    # jitted train step (align_cfg below) — the round-1 host-side
+    # align_fn cost ~0.7 s/step in device time + tunnel transfers.
+    align_cfg = None
     if cfg.data.dataset == "PUNet":
-        from p2p_bridge_tpu.metrics import align_clean_to_noisy
-
-        def align_fn(noisy, clean):
-            return np.asarray(
-                align_clean_to_noisy(
-                    jnp.asarray(noisy), jnp.asarray(clean), eps=0.01, iters=100
-                )
-            )
+        align_cfg = {"eps": 0.01, "iters": 100}
 
     tracker = (
         ExperimentTracker(
@@ -111,7 +107,8 @@ def train(cfg) -> None:
     ema_decay = cfg.model.get("EMA", {}).get("decay", 0.999) if "EMA" in cfg.model else 0.999
     step_fn = jit_train_step(
         make_train_step(bridge, optimizer, grad_clip=grad_clip,
-                        accumulation_steps=accum, ema_decay=ema_decay),
+                        accumulation_steps=accum, ema_decay=ema_decay,
+                        align_cfg=align_cfg),
         mesh,
     )
     state = replicate_state(state, mesh)
@@ -136,7 +133,7 @@ def train(cfg) -> None:
             jax.profiler.stop_trace()
             logger.info("Wrote profiler trace to %s", profile_dir)
         batch_np = next(train_iter)
-        db = get_data_batch(batch_np, cfg, align_fn=align_fn)
+        db = get_data_batch(batch_np, cfg)
         batch = {k: v for k, v in db.items() if v is not None}
         batch = shard_batch(batch, mesh)
 
