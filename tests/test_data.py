@@ -91,6 +91,56 @@ def test_paired_patch_dataset(punet_root, rng):
     np.testing.assert_array_equal(item["noisy_points"], item2["noisy_points"])
 
 
+def test_fast_paired_patch_matches_slow_distribution(punet_root, rng):
+    """The patch-first fast path must match the literal full-cloud port
+    in distribution: clean patches are contiguous kNN neighborhoods of
+    the (normalized, re-scaled, rotated) cloud, and the noisy offsets
+    have the configured magnitude."""
+    from p2p_bridge_tpu.data.punet import get_dataset
+
+    fast = get_dataset(punet_root, "train", patch_size=64)
+    slow = get_dataset(punet_root, "train", patch_size=64, fast=False)
+
+    def stats(ds):
+        # distances clean->clean centroid (patch extent) and
+        # noisy->clean per-index offset (noise level after rescale)
+        ext, noise = [], []
+        for i in range(12):
+            it = ds[i]
+            c, n = it["clean_points"], it["noisy_points"]
+            ext.append(np.linalg.norm(c - c.mean(0), axis=1).mean())
+            noise.append(np.linalg.norm(n - c, axis=1).mean())
+        return np.mean(ext), np.mean(noise)
+
+    e_f, n_f = stats(fast)
+    e_s, n_s = stats(slow)
+    assert 0.6 < e_f / e_s < 1.6, (e_f, e_s)
+    # noise magnitudes: same sigma range, but the slow path pairs points
+    # by kNN rank (not identity) so allow a loose band
+    assert 0.3 < n_f / n_s < 3.0, (n_f, n_s)
+    # determinism of the fast path
+    np.testing.assert_array_equal(fast[3]["noisy_points"],
+                                  fast[3]["noisy_points"])
+
+
+def test_fast_paired_patch_clean_is_knn_of_base(punet_root):
+    """With augmentation off, the fast clean patch must be EXACTLY the
+    patch_size nearest base-cloud points of its seed (sorted)."""
+    from p2p_bridge_tpu.data.punet import FastPairedPatchDataset, PointCloudDataset
+    from scipy.spatial import cKDTree
+
+    sets = [PointCloudDataset(punet_root, "PUNet", "train", "10000_poisson")]
+    ds = FastPairedPatchDataset(sets, noise_min=0.0, noise_max=0.0,
+                                scale_d=0.0, rotate=False, patch_size=16)
+    it = ds[1]
+    clean = it["clean_points"] * it["scale"] + it["center"]
+    base, tree, _, _ = sets[0].normalized(1 % len(sets[0]))
+    # with sigma=0 the noisy seed is a base point; its 16-NN neighborhood
+    # must be a subset of base rows
+    d, _ = tree.query(clean, k=1)
+    assert d.max() < 1e-5
+
+
 # --------------------------------------------------------------- scannetpp
 @pytest.fixture
 def snpp_root(tmp_path, rng):
