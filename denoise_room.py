@@ -38,6 +38,11 @@ def parse_args():
     parser.add_argument("--steps", type=int, default=5)
     parser.add_argument("--k", type=int, default=4, help="Patch oversampling factor.")
     parser.add_argument("--intermediate", action="store_true")
+    parser.add_argument("--filter_outliers", action="store_true",
+                        help="Drop the 1%% per-patch outliers vs the input "
+                             "patch before averaging (reference "
+                             "denoise_room.py:39-69,163-171, shipped "
+                             "hardcoded off there).")
     parser.add_argument("--batch_size", type=int, default=32)
     parser.add_argument("--local_rank", type=int, default=0)
     parser.add_argument("--gpu", type=str, default="")
@@ -118,6 +123,7 @@ def main():
         use_rgb=cfg.data.get("use_rgb_features", False),
         use_feat=cfg.data.get("point_features") == "dino" and room_feat is not None,
         average_predictions=cfg.average_predictions,
+        filter_outliers=cfg.get("filter_outliers", False),
         return_steps=cfg.intermediate,
         seed=cfg.seed,
     )

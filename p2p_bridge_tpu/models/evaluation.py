@@ -54,13 +54,20 @@ def evaluate(
     step: int,
     out_dir: Optional[str] = None,
     tracker=None,
-    max_batches: int = 4,
+    max_batches: Optional[int] = None,
     use_ema_params=None,
 ) -> Dict[str, float]:
-    """In-training eval (reference models/evaluation.py:77-211)."""
+    """In-training eval (reference models/evaluation.py:77-211).
+
+    max_batches bounds the evaluated val batches; default comes from
+    cfg.training.eval_max_batches (4 — the reference walks the full val
+    set, which at PUNet scale is minutes of sampling per eval; set the
+    config key to 0/None for full-set reference behavior)."""
+    if max_batches is None:
+        max_batches = cfg.training.get("eval_max_batches", 4) if "training" in cfg else 4
     preds, gts, starts = [], [], []
     for idx, batch in enumerate(val_loader):
-        if idx >= max_batches:
+        if max_batches and idx >= max_batches:
             break
         db = get_data_batch(batch, cfg)
         p = use_ema_params if use_ema_params is not None else params

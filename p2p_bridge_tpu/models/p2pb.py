@@ -236,13 +236,21 @@ class P2PBridge:
 
         x_final, (xs, pred_x0s) = jax.lax.scan(body, x1, (coefs, step_rngs))
         # xs: [S, B, N, 3] in sampling order (coarse -> fine). Reference
-        # returns backward-time order: index 0 = final state.
+        # returns backward-time order: index 0 = final state, and when
+        # log_count < steps it logs states SPACED over the whole chain
+        # (p2pb.py:292-299: prev_step in log_steps), not the last few.
+        # After the flip, flipped-chain entry k is the state at
+        # prev_step = steps[k], so the reference's selection is exactly
+        # space_indices(num_steps, log_count).
         x_chain = jnp.flip(jnp.moveaxis(xs, 0, 1), axis=1)
         pred_chain = jnp.flip(jnp.moveaxis(pred_x0s, 0, 1), axis=1)
+        from .schedules import space_indices
+
         L = min(log_count, plan.num_steps)
+        log_idx = jnp.asarray(space_indices(plan.num_steps, L))
         return {
-            "x_chain": x_chain[:, :L],
-            "pred_chain": pred_chain[:, :L],
+            "x_chain": x_chain[:, log_idx],
+            "pred_chain": pred_chain[:, log_idx],
             "x_pred": x_final,
             "x_start": x_start,
         }

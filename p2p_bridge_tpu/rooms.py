@@ -102,9 +102,17 @@ def denoise_patch_batch(
     use_rgb: bool = False,
     use_feat: bool = False,
     return_steps: bool = False,
+    filtering: bool = False,
 ) -> Tuple[np.ndarray, Optional[np.ndarray]]:
     """Normalize, sample, denormalize a [B, S, 3] patch batch
-    (reference denoise_room.py:115-178)."""
+    (reference denoise_room.py:115-178).
+
+    filtering=True drops the 1% of denoised points per patch farthest
+    from the (normalized) input patch before un-normalizing, and
+    returns (denoised [B, S', 3], keep_mask [B, S]) instead of a chain.
+    The reference implements this (denoise_room.py:163-171) but ships it
+    hardcoded off (:494) with a missing re-scale assignment (:170); this
+    version applies the un-normalization to the kept points."""
     center = patch_xyz.mean(axis=1, keepdims=True)
     patch = patch_xyz - center
     scale = np.linalg.norm(patch, axis=2, keepdims=True).max(axis=1, keepdims=True)
@@ -123,6 +131,12 @@ def denoise_patch_batch(
         steps=steps,
         log_count=steps,
     )
+    if filtering:
+        n_out = int(patch.shape[1] * 0.01)
+        x_pred = np.asarray(out["x_pred"])
+        kept, mask = remove_outliers(x_pred, patch, n_out)
+        return kept * scale + center, mask
+
     denoised = np.asarray(out["x_pred"]) * scale + center
     chain = None
     if return_steps:
@@ -196,9 +210,14 @@ def denoise_room(
     use_feat: bool = False,
     average_predictions: bool = True,
     return_steps: bool = False,
+    filter_outliers: bool = False,
     seed: int = 42,
 ) -> Dict[str, np.ndarray]:
-    """Full room pipeline (reference denoise_room.py:424-573)."""
+    """Full room pipeline (reference denoise_room.py:424-573).
+
+    filter_outliers enables the per-patch 1% outlier filter
+    (reference :39-69,163-171,508-513); the filtered points' room
+    indices are dropped from the overlap average."""
     rng = np.random.default_rng(seed)
     n_seeds = int(np.ceil(room_points.shape[0] / patch_size) * k)
     logger.info("Room: %d points, %d seed patches, radius %.2f",
@@ -232,9 +251,26 @@ def denoise_room(
             bridge, params, xyz[sel], steps,
             rgb[sel] if rgb is not None else None,
             feats[sel] if feats is not None else None,
-            use_rgb, use_feat, return_steps,
+            use_rgb, use_feat, return_steps and not filter_outliers,
+            filtering=filter_outliers,
         )
         valid = e - s
+        if filter_outliers:
+            # chain holds the keep mask; subset each patch's room
+            # indices to the kept points (reference :508-513)
+            keep = chain
+            kept_idxs = np.stack([idxs[s + i][keep[i]] for i in range(valid)])
+            # padding duplicates sit at the patch tail, and boolean
+            # masking preserves order, so the kept-real count is the
+            # mask popcount over the first cut positions
+            kept_cuts = np.asarray(
+                [int(keep[i, : cuts[s + i]].sum()) for i in range(valid)]
+            )
+            if average_predictions:
+                accum.update(d[:valid], kept_idxs, kept_cuts)
+            else:
+                collected.append(d[:valid].reshape(-1, 3))
+            continue
         if average_predictions:
             accum.update(d[:valid], idxs[s:e], cuts[s:e])
             if return_steps:

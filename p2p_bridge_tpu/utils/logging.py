@@ -58,6 +58,47 @@ class ExperimentTracker:
         if self._wandb is not None:
             self._wandb.log(metrics, step=step)
 
+    def log_histograms(self, tree, step: int, prefix: str = "param",
+                       bins: int = 24) -> None:
+        """wandb.watch analogue (reference train.py:94-98): per-leaf
+        histograms of a param/grad pytree into histograms.jsonl (and
+        wandb.Histogram when live). Call every watch-interval steps with
+        params and/or grads."""
+        import jax
+        import numpy as np
+
+        recs = {}
+        for path_t, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+            name = prefix + "/" + "/".join(
+                str(getattr(k, "key", getattr(k, "idx", k))) for k in path_t
+            )
+            x = np.asarray(leaf).ravel()
+            if x.size == 0:
+                continue
+            counts, edges = np.histogram(x, bins=bins)
+            recs[name] = {
+                "min": float(x.min()), "max": float(x.max()),
+                "mean": float(x.mean()), "std": float(x.std()),
+                "counts": counts.tolist(),
+                "edges": [float(edges[0]), float(edges[-1])],
+            }
+        hpath = os.path.join(self.output_dir, "histograms.jsonl")
+        with open(hpath, "a") as f:
+            f.write(json.dumps({"step": step, "hists": recs}) + "\n")
+        if self._wandb is not None:
+            try:
+                self._wandb.log(
+                    {k: self._wandb.Histogram(
+                        np_histogram=(v["counts"],
+                                      list(np.linspace(v["edges"][0],
+                                                       v["edges"][1],
+                                                       len(v["counts"]) + 1))))
+                     for k, v in recs.items()},
+                    step=step,
+                )
+            except Exception:
+                pass
+
     def log_image(self, name: str, path: str, step: int) -> None:
         if self._wandb is not None:
             self._wandb.log({name: self._wandb.Image(path)}, step=step)

@@ -337,6 +337,18 @@ def install_reference_op_stubs() -> None:
         sys.modules[name] = m
 
 
+class _C(dict):
+    def __getattr__(self, k):
+        try:
+            return self[k]
+        except KeyError:
+            raise AttributeError(k)
+
+
+def _wrap_cfg(d):
+    return _C({k: _wrap_cfg(v) for k, v in d.items()}) if isinstance(d, dict) else d
+
+
 def load_reference_model(cfg_dict: Dict, reference_root: str = "/root/reference"):
     """Instantiate the reference torch PVCNN2Unet on CPU."""
     install_reference_op_stubs()
@@ -344,16 +356,31 @@ def load_reference_model(cfg_dict: Dict, reference_root: str = "/root/reference"
         sys.path.insert(0, reference_root)
     from models.unet_pvc import PVCNN2Unet as TorchUnet  # noqa: PLC0415
 
-    class _C(dict):
-        def __getattr__(self, k):
-            try:
-                return self[k]
-            except KeyError:
-                raise AttributeError(k)
-
-    def wrap(d):
-        return _C({k: wrap(v) for k, v in d.items()}) if isinstance(d, dict) else d
-
-    model = TorchUnet(wrap(cfg_dict))
+    model = TorchUnet(_wrap_cfg(cfg_dict))
     model.eval()
     return model
+
+
+def load_reference_bridge(cfg_dict: Dict, model,
+                          reference_root: str = "/root/reference"):
+    """Instantiate the reference torch P2PB bridge on CPU
+    (reference models/p2pb.py:72-149), for sampler-chain parity tests.
+
+    models/loss.py imports the CUDA auction-EMD package at module scope;
+    only the mse loss is exercised here, so that subtree is stubbed.
+    Requires cfg model.ema == False (ema_pytorch is stubbed)."""
+    install_reference_op_stubs()
+    for name in ("metrics", "metrics.emd_assignment"):
+        sys.modules.setdefault(name, types.ModuleType(name))
+    if "metrics.emd_assignment.emd_module" not in sys.modules:
+        m = types.ModuleType("metrics.emd_assignment.emd_module")
+        m.emdModule = object
+        sys.modules["metrics.emd_assignment.emd_module"] = m
+        sys.modules["metrics.emd_assignment"].emd_module = m
+    if reference_root not in sys.path:
+        sys.path.insert(0, reference_root)
+    from models.p2pb import P2PB  # noqa: PLC0415
+
+    bridge = P2PB(_wrap_cfg(cfg_dict), model)
+    bridge.eval()
+    return bridge

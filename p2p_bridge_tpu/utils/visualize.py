@@ -50,3 +50,36 @@ def visualize_pointcloud_batch(
     plt.savefig(path, dpi=100)
     plt.close(fig)
     return path
+
+
+def visualize_voxels(out_file, voxels, num_shown: int = 16,
+                     threshold: float = 0.5):
+    """Voxel-occupancy grid figure (reference utils/visualize.py:105-127).
+
+    Args:
+      voxels: [B, r, r, r] or [B, 1, r, r, r] occupancy/feature grids;
+        values are thresholded into booleans.
+    """
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    import numpy as np
+
+    voxels = np.asarray(voxels)
+    if voxels.ndim == 5:
+        voxels = voxels[:, 0] if voxels.shape[1] == 1 else voxels[..., 0]
+    occ = voxels > threshold
+
+    num_shown = min(num_shown, occ.shape[0])
+    n = max(int(np.sqrt(num_shown)), 1)
+    fig = plt.figure(figsize=(20, 20))
+    for idx in range(min(num_shown, n * n)):
+        ax = fig.add_subplot(n, n, idx + 1, projection="3d")
+        ax.voxels(occ[idx], edgecolor="k", facecolors="green",
+                  linewidth=0.1, alpha=0.5)
+        ax.view_init()
+        ax.axis("off")
+    plt.savefig(out_file, bbox_inches="tight")
+    plt.close(fig)
+    return out_file

@@ -104,3 +104,48 @@ def test_denoise_room_fps_mode(rng):
         average_predictions=False,
     )
     assert out["denoised"].shape == (300, 3)
+
+
+class OutlierBridge:
+    """Fake bridge that returns the input with the LAST point of every
+    patch blasted far away — a planted outlier."""
+
+    def sample(self, params, x_start, x_cond=None, steps=None, log_count=10,
+               clip_denoise=False, rng=None):
+        import jax.numpy as jnp
+
+        pred = x_start.at[:, -1, :].set(50.0)
+        chain = jnp.repeat(pred[:, None], steps or 1, axis=1)
+        return {"x_chain": chain, "x_pred": pred, "x_start": x_start}
+
+
+def test_denoise_patch_batch_filtering(rng):
+    from p2p_bridge_tpu.rooms import denoise_patch_batch
+
+    patches = rng.normal(size=(3, 128, 3)).astype(np.float32) * 0.1
+    d, mask = denoise_patch_batch(
+        OutlierBridge(), None, patches.copy(), steps=1, filtering=True
+    )
+    n_out = int(128 * 0.01)  # = 1
+    assert d.shape == (3, 128 - n_out, 3)
+    assert mask.shape == (3, 128)
+    # the planted outlier (last point) is exactly what gets dropped
+    assert (~mask[:, -1]).all()
+    assert mask[:, :-1].all()
+    # kept points are correctly un-normalized back to the input frame
+    np.testing.assert_allclose(d, patches[:, :-1], atol=1e-5)
+
+
+def test_denoise_room_filter_outliers(rng):
+    room = rng.normal(size=(500, 3)).astype(np.float32) * 0.1
+    out = denoise_room(
+        OutlierBridge(), None, room,
+        steps=1, k=2, patch_size=128, batch_size=4, query_radius=0.3,
+        filter_outliers=True,
+    )
+    assert out["denoised"].shape == (500, 3)
+    assert np.isfinite(out["denoised"]).all()
+    # without filtering the planted 50.0 outliers poison the average;
+    # with filtering the result stays near the room
+    err = np.linalg.norm(out["denoised"] - room, axis=1)
+    assert np.median(err) < 0.05

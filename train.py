@@ -157,13 +157,26 @@ def train(cfg) -> None:
                     step,
                 )
 
-        if (step + 1) % save_interval == 0 and is_main:
+        # wandb.watch analogue (reference train.py:94-98): parameter
+        # histograms every watch_interval steps. (Full gradient tensors
+        # are not shipped off-device — the per-step global grad norm is
+        # in the scalar log; histograms cover the parameter side.)
+        watch_interval = cfg.training.get("watch_interval", 2000)
+        if tracker and watch_interval and (step + 1) % watch_interval == 0:
+            tracker.log_histograms(state.params, step + 1, prefix="param")
+
+        if (step + 1) % save_interval == 0:
+            # ALL processes participate: with multi-host global arrays
+            # orbax coordinates the save across hosts (the reference's
+            # barrier+reload discipline, train.py:167-185, is subsumed —
+            # SPMD state stays identical by construction, no reload)
             model_loader.save_checkpoint(
                 cfg.output_dir, step + 1, state.params,
                 ema_params=state.ema.params if state.ema else None,
                 opt_state=state.opt_state,
             )
-            logger.info("Saved checkpoint to %s", cfg.output_dir)
+            if is_main:
+                logger.info("Saved checkpoint to %s", cfg.output_dir)
 
         if (step + 1) % viz_interval == 0 and is_main:
             try:
