@@ -36,8 +36,8 @@ _LANES = 128
 _BATCH_TILE = 8
 
 
-def _fps_kernel_single(coords_ref, out_ref, dists_ref, *, num_samples,
-                       n_padded, n_real):
+def _fps_kernel_single(coords_ref, out_ref, dists_ref, xyz_ref, *,
+                       num_samples, n_padded, n_real):
     """One batch element per grid step, points spread over sublanes.
 
     Preferred at small B / large N (e.g. the B=1 50k-point recombination
@@ -47,11 +47,18 @@ def _fps_kernel_single(coords_ref, out_ref, dists_ref, *, num_samples,
     coords_ref: [1, 3, n_padded] VMEM (xyz planes)
     out_ref:    [1, m_rows, 128] int32 VMEM
     dists_ref:  [n_padded // 128, 128] f32 VMEM scratch
+    xyz_ref:    [3 * (n_padded // 128), 128] f32 VMEM scratch — the three
+                planes stacked row-wise so the selected point's
+                coordinates come from ONE dynamic-sublane row read each
+                instead of a full masked reduction per coordinate.
     """
     nr = n_padded // _LANES
     x = coords_ref[0, 0, :].reshape(nr, _LANES)
     y = coords_ref[0, 1, :].reshape(nr, _LANES)
     z = coords_ref[0, 2, :].reshape(nr, _LANES)
+    xyz_ref[0:nr, :] = x
+    xyz_ref[nr:2 * nr, :] = y
+    xyz_ref[2 * nr:3 * nr, :] = z
 
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (nr, _LANES), 0)
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (nr, _LANES), 1)
@@ -70,18 +77,26 @@ def _fps_kernel_single(coords_ref, out_ref, dists_ref, *, num_samples,
 
     store(0, jnp.int32(0))
 
+    def pick(plane_off, row, lane):
+        # one dynamic-sublane row read + a 1-vreg lane select replaces a
+        # full [nr, 128] masked reduction per coordinate
+        r_ = xyz_ref[pl.ds(plane_off + row, 1), :]
+        return jnp.max(jnp.where(lane_ids == lane, r_, -jnp.inf))
+
     def body(j, last_idx):
-        sel = flat_ids == last_idx
-        lx = jnp.max(jnp.where(sel, x, -jnp.inf))
-        ly = jnp.max(jnp.where(sel, y, -jnp.inf))
-        lz = jnp.max(jnp.where(sel, z, -jnp.inf))
+        row = last_idx // _LANES
+        lane = last_idx % _LANES
+        lx = pick(0, row, lane)
+        ly = pick(nr, row, lane)
+        lz = pick(2 * nr, row, lane)
 
         d = (x - lx) ** 2 + (y - ly) ** 2 + (z - lz) ** 2
+        # padding rows hold -inf and min() keeps them there — no remask
         nd = jnp.minimum(dists_ref[:], d)
-        dists_ref[:] = jnp.where(real, nd, -jnp.float32(jnp.inf))
+        dists_ref[:] = nd
 
-        best = jnp.max(dists_ref[:])
-        idx = jnp.min(jnp.where(dists_ref[:] == best, flat_ids, jnp.int32(2**30)))
+        best = jnp.max(nd)
+        idx = jnp.min(jnp.where(nd == best, flat_ids, jnp.int32(2**30)))
         store(j, idx)
         return idx
 
@@ -178,7 +193,8 @@ def furthest_point_sample_pallas(
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((B, m_rows, _LANES), jnp.int32),
             scratch_shapes=[
-                pltpu.VMEM((n_padded // _LANES, _LANES), jnp.float32)
+                pltpu.VMEM((n_padded // _LANES, _LANES), jnp.float32),
+                pltpu.VMEM((3 * (n_padded // _LANES), _LANES), jnp.float32),
             ],
             interpret=interpret,
         )(planes)

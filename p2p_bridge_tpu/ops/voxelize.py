@@ -90,31 +90,43 @@ def avg_voxelize(
     # compare+convert chunks through the MXU better than it handles the
     # factorization's [B, N, r*C] intermediate.
     f32_in = features.dtype == jnp.float32
-    ones = jnp.ones((B, N, 1), jnp.bfloat16)
     if f32_in:
         hi = features.astype(jnp.bfloat16)
         lo = (features - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        feat_c = jnp.concatenate([hi, lo, ones], axis=-1)
+        feat_c = jnp.concatenate([hi, lo], axis=-1)
     else:
-        feat_c = jnp.concatenate([features.astype(jnp.bfloat16), ones], axis=-1)
+        feat_c = features.astype(jnp.bfloat16)
+    # counts via a FACTORIZED one-hot matmul: [B,N,r^2] x [B,N,r] is
+    # ~1000x fewer FLOPs than reducing the full [B,N,r^3] one-hot
+    idx_xy = vox_coords[..., 0] * r + vox_coords[..., 1]
+    oh_xy = (
+        idx_xy[..., None] == jnp.arange(r * r, dtype=idx_xy.dtype)
+    ).astype(jnp.bfloat16)
+    oh_z = (
+        vox_coords[..., 2:3] == jnp.arange(r, dtype=vox_coords.dtype)
+    ).astype(jnp.bfloat16)
+    cnt_all = jnp.einsum(
+        "bnv,bnk->bvk", oh_xy, oh_z, preferred_element_type=jnp.float32
+    ).reshape(B, r3)
+    cnt_all = jax.lax.stop_gradient(jnp.maximum(cnt_all, 1.0))
+
     chunk = min(r3, 2048)
     parts = []
     bins = jnp.arange(chunk)
     for s in range(0, r3, chunk):
         onehot = (idx[:, :, None] == (s + bins)[None, None, :]).astype(jnp.bfloat16)
-        parts.append(
-            jnp.einsum(
-                "bnv,bnc->bvc",
-                onehot,
-                feat_c,
-                preferred_element_type=jnp.float32,
-            )
+        acc = jnp.einsum(
+            "bnv,bnc->bvc", onehot, feat_c,
+            preferred_element_type=jnp.float32,
         )
-    acc = jnp.concatenate(parts, axis=1)
-    cnt = jax.lax.stop_gradient(jnp.maximum(acc[..., -1], 1.0))
-    summed = acc[..., :C] + acc[..., C:-1] if f32_in else acc[..., :C]
-    grid = summed / cnt[..., None]
-    return grid.reshape(B, r, r, r, C).astype(features.dtype)
+        summed = acc[..., :C] + acc[..., C:] if f32_in else acc
+        # divide + output-dtype cast fuse per chunk, so the [B, r^3, C]
+        # accumulator never round-trips HBM in f32
+        parts.append(
+            (summed / cnt_all[:, s:s + chunk, None]).astype(features.dtype)
+        )
+    grid = jnp.concatenate(parts, axis=1)
+    return grid.reshape(B, r, r, r, C)
 
 
 def normalize_coords_to_voxels(
