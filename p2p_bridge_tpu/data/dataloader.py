@@ -143,16 +143,19 @@ def get_dataloader(cfg, num_shards: int = 1, shard_index: int = 0):
         from .scannetpp import ScanNetPP
 
         use_features = cfg.data.get("point_features", None) is not None
+        splits_path = cfg.data.get("splits_path", "splits")
         train_ds = ScanNetPP(
             cfg.data.data_dir,
             mode="training",
             additional_features=use_features,
             augment=cfg.data.get("augment", False),
+            splits_path=splits_path,
             seed=seed,
         )
         val_ds = ScanNetPP(
             cfg.data.data_dir,
             mode="validation",
+            splits_path=splits_path,
             additional_features=use_features,
             seed=seed + 1,
         )
