@@ -42,6 +42,17 @@ def trilinear_devoxelize(
     """
     r = resolution
     C = grid.shape[-1]
+    if (
+        jax.devices()[0].platform == "tpu"
+        and grid.dtype == jnp.bfloat16
+        and r * r * r * C * 2 <= 8 * 2**20
+    ):
+        # VMEM-resident MXU gather (same bf16 weight precision as the
+        # block-gather path below applies to bf16 grids); the XLA
+        # block gather is ~1.2M row-gathers, ~10x off HBM speed
+        from .pallas.devox_kernel import trilinear_devoxelize_pallas
+
+        return trilinear_devoxelize_pallas(grid, coords, r)
     coords = jax.lax.stop_gradient(coords.astype(jnp.float32))
     lo_f = jnp.floor(coords)
     frac = coords - lo_f  # [B, N, 3]

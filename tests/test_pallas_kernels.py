@@ -117,3 +117,28 @@ def test_fused_ball_group_custom_vjp_matches_autodiff(rng):
     proto = jnp.zeros((0,), aug.dtype)  # dtype carrier, as in _fused_tpu_fwd
     _, _, got = _fused_tpu_bwd(r, K, (idx, N, proto), (ct, None))
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
+
+
+def test_devox_kernel_matches_block_gather(rng):
+    """Pallas devoxelize (interpret mode) vs the XLA block-gather path on
+    bf16 grids, including the frac==0 / r-1 edge cases."""
+    import jax.numpy as jnp
+
+    from p2p_bridge_tpu.ops.devoxelize import trilinear_devoxelize
+    from p2p_bridge_tpu.ops.pallas.devox_kernel import trilinear_devoxelize_pallas
+
+    B, r, C, N = 2, 8, 16, 200
+    grid = jnp.asarray(rng.normal(size=(B, r, r, r, C)), jnp.bfloat16)
+    coords = jnp.asarray(rng.uniform(0, r - 1, size=(B, N, 3)), jnp.float32)
+    # plant exact-integer coords (frac == 0) and r-1 corners
+    coords = coords.at[:, 0].set(jnp.asarray([0.0, 0.0, 0.0]))
+    coords = coords.at[:, 1].set(jnp.asarray([r - 1.0, r - 1.0, r - 1.0]))
+    coords = coords.at[:, 2].set(jnp.asarray([3.0, 2.0, 5.0]))
+
+    want = np.asarray(
+        trilinear_devoxelize(grid, coords, r)  # CPU -> block-gather path
+    ).astype(np.float32)
+    got = np.asarray(
+        trilinear_devoxelize_pallas(grid, coords, r, interpret=True)
+    ).astype(np.float32)
+    np.testing.assert_allclose(got, want, atol=2e-2, rtol=2e-2)
