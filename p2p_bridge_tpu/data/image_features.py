@@ -50,6 +50,51 @@ def load_dino_extractor(model_name: str = "facebook/dinov2-small",
     return extract
 
 
+def load_descriptor_extractor(feat_dim: int = 384, patch: int = 14,
+                              seed: int = 0) -> Callable:
+    """Built-in torch-free patch descriptor: a fixed random projection of
+    per-patch color statistics and oriented gradient histograms into
+    ``feat_dim`` channels.
+
+    This is NOT DINOv2 — it is the self-contained default so the whole
+    lifting pipeline (projection, occlusion, accumulation,
+    interpolation, training with point_features conditioning) runs
+    end-to-end in this zero-egress environment. Swap in
+    ``load_dino_extractor`` (local HF checkpoint) for semantic features.
+    The descriptor is deterministic (fixed seed) so train/infer agree.
+    """
+    rng = np.random.default_rng(seed)
+    raw_dim = 3 + 3 + 8  # mean rgb, std rgb, 8-bin gradient histogram
+    proj = rng.normal(size=(raw_dim, feat_dim)).astype(np.float32)
+    proj /= np.sqrt(raw_dim)
+
+    def extract(image: np.ndarray) -> np.ndarray:
+        """image [H, W, 3] uint8 -> [h, w, feat_dim] float features."""
+        img = np.asarray(image, np.float32) / 255.0
+        H, W = img.shape[:2]
+        h, w = H // patch, W // patch
+        img = img[: h * patch, : w * patch]
+        blocks = img.reshape(h, patch, w, patch, 3).transpose(0, 2, 1, 3, 4)
+        mean = blocks.mean(axis=(2, 3))            # [h, w, 3]
+        std = blocks.std(axis=(2, 3))              # [h, w, 3]
+        gray = img @ np.asarray([0.299, 0.587, 0.114], np.float32)
+        gy, gx = np.gradient(gray)
+        mag = np.sqrt(gx * gx + gy * gy)
+        ang = np.arctan2(gy, gx)  # [-pi, pi]
+        bins = np.clip(((ang + np.pi) / (2 * np.pi) * 8).astype(np.int32),
+                       0, 7)
+        hog = np.zeros((h, w, 8), np.float32)
+        bb = bins.reshape(h, patch, w, patch).transpose(0, 2, 1, 3)
+        mm = mag.reshape(h, patch, w, patch).transpose(0, 2, 1, 3)
+        for k in range(8):
+            hog[..., k] = np.where(bb == k, mm, 0.0).sum(axis=(2, 3))
+        hog /= hog.sum(axis=-1, keepdims=True) + 1e-6
+        raw = np.concatenate([mean, std, hog], axis=-1)  # [h, w, raw_dim]
+        return raw @ proj
+
+    return extract
+
+
 def project_points(
     points: np.ndarray, intrinsics: np.ndarray, world_to_cam: np.ndarray
 ) -> Tuple[np.ndarray, np.ndarray]:
@@ -187,7 +232,7 @@ def lift_frame_features(
 def process_scene(
     points: np.ndarray,
     frames: List[Dict],
-    extractor: Callable[[np.ndarray], np.ndarray],
+    extractor: Optional[Callable[[np.ndarray], np.ndarray]] = None,
     feat_dim: Optional[int] = None,
 ) -> np.ndarray:
     """Lift features from all frames onto the scene points
@@ -202,6 +247,8 @@ def process_scene(
     Returns:
       [N, C] float32 per-point features (missing ones interpolated).
     """
+    if extractor is None:
+        extractor = load_descriptor_extractor(feat_dim or 384)
     acc = None
     for frame in frames:
         feats = extractor(frame["image"])
