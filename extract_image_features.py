@@ -97,7 +97,9 @@ def main():
         feats = process_scene(points, frames, extractor,
                               feat_dim=args.feat_dim)
         os.makedirs(out_dir, exist_ok=True)
-        np.save(out, feats.astype(np.float16))
+        # stored transposed [C, N]: the reference's extract script does,
+        # and preprocess_batches loads with .T (data/preprocess_batches.py:40)
+        np.save(out, feats.T.astype(np.float16))
         logger.info("%s: %d frames -> features %s", scene, len(frames),
                     feats.shape)
 
