@@ -35,3 +35,23 @@ def test_patch_based_denoise_intermediate_steps(rng):
         save_intermediate=True,
     )
     assert steps.shape == (3, 512, 3)
+
+
+def test_patch_based_denoise_batch_multi_object(rng):
+    """The multi-object path (bench protocol): per-object programs plus
+    one batched recombination; each object independently recovered."""
+    from p2p_bridge_tpu.inference import patch_based_denoise_batch
+
+    pcls = rng.normal(size=(3, 600, 3)).astype(np.float32)
+    pcls /= np.linalg.norm(pcls, axis=-1, keepdims=True).max(
+        axis=1, keepdims=True
+    )
+    out, _ = patch_based_denoise_batch(
+        IdentityBridge(), None, pcls, patch_size=128, seed_k=3, steps=2
+    )
+    assert out.shape == (3, 600, 3)
+    from scipy.spatial import cKDTree
+
+    for o in range(3):
+        d, _ = cKDTree(pcls[o]).query(out[o], k=1)
+        assert d.max() < 1e-5, o
