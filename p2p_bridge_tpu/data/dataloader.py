@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import queue
 import threading
+import time
 from typing import Dict, Iterator, Optional
 
 import numpy as np
@@ -100,6 +101,129 @@ class NumpyLoader:
             yield item
 
 
+class PooledLoader:
+    """Background-refreshed sample pool (infinite batch iterator).
+
+    With one host core, per-item assembly (~5 ms of KD-tree queries,
+    dataloaders/punet.py analogue) competes with jit dispatch for the
+    GIL and starves the device (~0.23 s/step wall vs ~0.185 s device
+    step at bs=32 — BASELINE.md round 2). The pool decouples them:
+
+      * batches are drawn by array indexing from a pre-stacked pool of
+        ``pool_size`` items (≈0.1 ms on the training thread),
+      * one daemon thread regenerates pool slots round-robin with
+        whatever CPU the device step leaves idle,
+      * items are produced from a *virtual* index stream
+        ``epoch * len(dataset) + perm[i]`` so the per-item RNG
+        (seeded ``(seed, idx)``) yields fresh noise/patch draws every
+        epoch — matching the reference's global-RNG freshness
+        (dataloaders/punet.py:385-422) instead of round 2's
+        deterministic-per-idx recycling.
+
+    Statistical effect: a shuffle buffer sampled with replacement whose
+    refresh rate is CPU-bound; ``stats()`` reports produced/consumed so
+    reuse is measurable. Exact epoch iteration (NumpyLoader) remains the
+    path for validation and reference-comparison runs
+    (``data.loader: epoch``).
+    """
+
+    def __init__(self, dataset, batch_size: int, pool_size: int = 2048,
+                 seed: int = 0, num_shards: int = 1, shard_index: int = 0):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.pool_size = max(pool_size, 2 * batch_size)
+        self.seed = seed
+        self.num_shards = num_shards
+        self.shard_index = shard_index
+        self.epoch = 0
+        self._lock = threading.Lock()
+        self._rng = np.random.default_rng((seed, 0xB00))
+        self._produced = 0
+        self._consumed = 0
+        self._pool: Optional[Dict[str, np.ndarray]] = None
+        self._stop = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+
+    # -- virtual index stream (per-shard slice of each epoch's permutation)
+    def _index_stream(self):
+        n = len(self.dataset)
+        epoch = 0
+        while True:
+            rng = np.random.default_rng((self.seed, epoch))
+            perm = rng.permutation(n)[self.shard_index :: self.num_shards]
+            for i in perm:
+                yield int(epoch * n + i)
+            epoch += 1
+
+    def _make_item(self, virtual_idx: int) -> Dict[str, np.ndarray]:
+        item = self.dataset[virtual_idx]
+        return {k: np.asarray(v) for k, v in item.items()
+                if not isinstance(v, str)}
+
+    def _fill_initial(self):
+        stream = self._index_stream()
+        self._stream = stream
+        first = self._make_item(next(stream))
+        pool = {
+            k: np.empty((self.pool_size,) + v.shape, v.dtype)
+            for k, v in first.items()
+        }
+        for k, v in first.items():
+            pool[k][0] = v
+        for slot in range(1, self.pool_size):
+            item = self._make_item(next(stream))
+            for k, v in item.items():
+                pool[k][slot] = v
+        self._pool = pool
+        self._produced = self.pool_size
+
+    def _refresh_loop(self):
+        slot = 0
+        while not self._stop.is_set():
+            # soft throttle: >=4 fresh items per consumed item is already
+            # full freshness — beyond that, producing just burns the CPU
+            # the training thread (or an eval) could use
+            with self._lock:
+                ahead = self._produced - self.pool_size - 4 * self._consumed
+            if ahead > 0:
+                time.sleep(0.005)
+                continue
+            item = self._make_item(next(self._stream))
+            with self._lock:
+                for k, v in item.items():
+                    self._pool[k][slot] = v
+                self._produced += 1
+            slot = (slot + 1) % self.pool_size
+            # yield the GIL so jit dispatch on the main thread never waits
+            time.sleep(0)
+
+    def start(self):
+        if self._pool is None:
+            self._fill_initial()
+        if self._thread is None:
+            self._thread = threading.Thread(
+                target=self._refresh_loop, daemon=True
+            )
+            self._thread.start()
+        return self
+
+    def stop(self):
+        self._stop.set()
+
+    def stats(self) -> Dict[str, int]:
+        return {"produced": self._produced, "consumed": self._consumed}
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        self.start()
+        while True:
+            sel = self._rng.choice(self.pool_size, self.batch_size,
+                                   replace=False)
+            with self._lock:
+                batch = {k: v[sel].copy() for k, v in self._pool.items()}
+                self._consumed += self.batch_size
+            yield batch
+
+
 def save_iter(loader: NumpyLoader) -> Iterator:
     """Infinite iterator with epoch bump on wrap (dataloader.py:14-32)."""
     it = iter(loader)
@@ -122,6 +246,10 @@ def get_dataloader(cfg, num_shards: int = 1, shard_index: int = 0):
     if name == "PUNet":
         from .punet import get_dataset
 
+        # data.fast_patches chooses patch-first (fast, equivalent
+        # distribution, different RNG stream) vs the literal full-cloud
+        # port that matches the reference batch-for-batch
+        fast_patches = bool(cfg.data.get("fast_patches", True))
         train_ds = get_dataset(
             cfg.data.data_dir,
             split="train",
@@ -129,6 +257,7 @@ def get_dataloader(cfg, num_shards: int = 1, shard_index: int = 0):
             patch_size=cfg.data.npoints,
             aug_rotate=cfg.data.get("augment", True),
             seed=seed,
+            fast=fast_patches,
         )
         val_ds = get_dataset(
             cfg.data.data_dir,
@@ -175,10 +304,24 @@ def get_dataloader(cfg, num_shards: int = 1, shard_index: int = 0):
         raise NotImplementedError(f"dataset {name}")
 
     bs = cfg.training.bs if "training" in cfg else cfg.sampling.bs
-    train_loader = NumpyLoader(
-        train_ds, bs, shuffle=True, drop_last=True, seed=seed,
-        num_shards=num_shards, shard_index=shard_index,
-    )
+    # data.loader: "pool" (background-refreshed sample pool — keeps the
+    # device fed on a 1-core host) or "epoch" (exact shuffled epochs,
+    # reference DataLoader semantics). Default: pool for PUNet training
+    # (its ~5 ms/item KD-tree cost is what starves the chip), epoch
+    # elsewhere (npz reads are cheap).
+    loader_kind = cfg.data.get("loader", "pool" if name == "PUNet" else "epoch")
+    if loader_kind == "pool":
+        train_loader = PooledLoader(
+            train_ds, bs, pool_size=int(cfg.data.get("pool_size", 2048)),
+            seed=seed, num_shards=num_shards, shard_index=shard_index,
+        )
+    elif loader_kind == "epoch":
+        train_loader = NumpyLoader(
+            train_ds, bs, shuffle=True, drop_last=True, seed=seed,
+            num_shards=num_shards, shard_index=shard_index,
+        )
+    else:
+        raise NotImplementedError(f"data.loader {loader_kind}")
     val_loader = NumpyLoader(
         val_ds, cfg.sampling.get("bs", bs) if "sampling" in cfg else bs,
         shuffle=False, drop_last=False, seed=seed,

@@ -188,6 +188,13 @@ class FastPairedPatchDataset:
             noisy_cand = noisy_cand + rng.normal(
                 size=noisy_cand.shape
             ).astype(np.float32) * std
+            # in the literal path the seed IS a cloud point, so its noisy
+            # position is the query point itself and the noisy patch
+            # always contains the seed at distance 0 — reuse the seed's
+            # noise draw as point i0's displacement to match
+            pos = np.nonzero(cand == i0)[0]
+            if pos.size:
+                noisy_cand[pos[0]] = seed_pt
         d = ((noisy_cand - seed_pt) ** 2).sum(axis=1)
         sel = np.argpartition(d, ksize - 1)[:ksize]
         sel = sel[np.argsort(d[sel], kind="stable")]  # sorted, like tree.query

@@ -53,11 +53,19 @@ def auction_emd(
         # VMEM-resident auction: ~25x faster than the HBM-bound XLA
         # formulation at B=32, N=M=2048 (identical f32 semantics; pinned
         # by tests/test_metrics.py in interpret mode and bench.py on TPU)
-        from ..ops.pallas.auction_kernel import auction_emd_pallas
-
-        d2 = pairwise_sqdist(xyz1, xyz2)  # [B, N, M]
-        return auction_emd_pallas(d2, float(eps), int(iters))
+        return _auction_emd_pallas_path(xyz1, xyz2, float(eps), int(iters))
     return _auction_emd_xla(xyz1, xyz2, eps, iters)
+
+
+@partial(jax.jit, static_argnums=(2, 3))
+def _auction_emd_pallas_path(xyz1, xyz2, eps: float, iters: int):
+    """Jitted end-to-end TPU path: the pairwise distance matrix (and any
+    caller-side gathers) must compile as ONE program — eager per-op
+    execution remote-compiles each op on this backend (CLAUDE.md)."""
+    from ..ops.pallas.auction_kernel import auction_emd_pallas
+
+    d2 = pairwise_sqdist(xyz1, xyz2)  # [B, N, M]
+    return auction_emd_pallas(d2, eps, iters)
 
 
 @partial(jax.jit, static_argnums=(2, 3))

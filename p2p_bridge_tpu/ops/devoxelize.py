@@ -129,8 +129,10 @@ def _devox_bwd(resolution, residuals, g):
     wy = axis_weight(1, r)
     wz = axis_weight(2, r)
     w_xy = wx[..., :, None] * wy[..., None, :]  # [B, N, r, r]
-    if on_tpu:
+    if on_tpu and g.dtype == jnp.bfloat16:
         # bf16 MXU path (~1e-3 rel — AMP-grade, grads only); f32 accum.
+        # Gated on the cotangent dtype, not platform alone: an f32 model
+        # run keeps f32 gradients to match its f32 forward.
         dt = jnp.bfloat16
         mm = dict(preferred_element_type=jnp.float32)
     else:

@@ -131,6 +131,7 @@ def auction_emd_pallas(
     B, N, M = d2.shape
     kernel = partial(_auction_kernel, n=N, m=M, eps=float(eps),
                      iters=int(iters))
+    # per-step VMEM: the [N, M] block + [N]/[M] vectors + headroom
     vmem_need = (N * M + 8 * N + 8 * M) * 4 + (1 << 22)
     assign, dist = pl.pallas_call(
         kernel,
@@ -154,7 +155,7 @@ def auction_emd_pallas(
             pltpu.VMEM((1, M), jnp.int32),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=128 * 2**20,
+            vmem_limit_bytes=min(vmem_need, 128 * 2**20),
         ),
         interpret=interpret,
     )(d2)

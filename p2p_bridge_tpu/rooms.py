@@ -218,6 +218,15 @@ def denoise_room(
     filter_outliers enables the per-patch 1% outlier filter
     (reference :39-69,163-171,508-513); the filtered points' room
     indices are dropped from the overlap average."""
+    if return_steps and filter_outliers:
+        # the per-patch filter drops points, so fixed-shape per-step
+        # accumulation is impossible; without this the "steps" output
+        # would silently be the never-updated fallback (shuffled input)
+        logger.warning(
+            "return_steps is incompatible with filter_outliers; "
+            "disabling intermediate-step outputs"
+        )
+        return_steps = False
     rng = np.random.default_rng(seed)
     n_seeds = int(np.ceil(room_points.shape[0] / patch_size) * k)
     logger.info("Room: %d points, %d seed patches, radius %.2f",

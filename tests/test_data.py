@@ -255,3 +255,51 @@ def test_get_data_batch_snpp_features_and_rgb():
     out = get_data_batch(batch, cfg)
     assert out["x_cond"].shape == (2, 8, 8)  # rgb(3) + feats(5)
     np.testing.assert_allclose(out["x_cond"][..., :3], 0.5)
+
+
+def test_pooled_loader_serves_fresh_batches(punet_root):
+    """PooledLoader: batches come from the pool by indexing, the refresh
+    thread rewrites slots with virtual-index items (fresh RNG stream per
+    epoch), and stats() tracks produced/consumed."""
+    import time as _time
+
+    from p2p_bridge_tpu.data.dataloader import PooledLoader
+    from p2p_bridge_tpu.data.punet import get_dataset
+
+    ds = get_dataset(punet_root, "train", patch_size=32)
+    loader = PooledLoader(ds, batch_size=4, pool_size=16, seed=0)
+    it = iter(loader)
+    b1 = next(it)
+    assert b1["noisy_points"].shape == (4, 32, 3)
+    assert b1["clean_points"].shape == (4, 32, 3)
+    # pairs must stay aligned (no torn slot writes): the noisy and clean
+    # patch of one item cover the same region, so every clean point has
+    # a nearby noisy point (a mixed-up pair would be far apart)
+    for i in range(4):
+        d = np.linalg.norm(
+            b1["clean_points"][i][:, None] - b1["noisy_points"][i][None], axis=-1
+        )
+        assert d.min(axis=1).max() < 1.0
+        assert np.linalg.norm(b1["noisy_points"][i], axis=1).max() == pytest.approx(
+            1.0, rel=1e-5
+        )
+    start = loader.stats()["produced"]
+    deadline = _time.time() + 10.0
+    while loader.stats()["produced"] == start and _time.time() < deadline:
+        _time.sleep(0.05)
+    assert loader.stats()["produced"] > start  # refresh thread is live
+    b2 = next(it)
+    assert loader.stats()["consumed"] == 8
+    assert b2["noisy_points"].shape == (4, 32, 3)
+    loader.stop()
+
+
+def test_pooled_loader_virtual_indices_differ_across_epochs(punet_root):
+    """dataset[idx] and dataset[idx + epoch*len] must give different
+    draws (the pool's freshness guarantee)."""
+    from p2p_bridge_tpu.data.punet import get_dataset
+
+    ds = get_dataset(punet_root, "train", patch_size=32)
+    a = ds[3]
+    b = ds[3 + len(ds)]
+    assert not np.array_equal(a["noisy_points"], b["noisy_points"])

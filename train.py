@@ -143,11 +143,15 @@ def train(cfg) -> None:
             loss = float(metrics["loss"])
             dt = time.perf_counter() - t_last
             t_last = time.perf_counter()
+            pool_note = ""
+            if hasattr(train_loader, "stats"):
+                st = train_loader.stats()
+                pool_note = "\tpool p/c: %d/%d" % (st["produced"], st["consumed"])
             logger.info(
-                "[%6d/%d]\tloss: %10.6f\tnetpNorm: %10.2f\tnetgradNorm: %10.4f\t(%.2fs/%d steps)",
+                "[%6d/%d]\tloss: %10.6f\tnetpNorm: %10.2f\tnetgradNorm: %10.4f\t(%.2fs/%d steps)%s",
                 step, cfg.training.steps,
                 loss, float(metrics["param_norm"]), float(metrics["grad_norm"]),
-                dt, log_interval,
+                dt, log_interval, pool_note,
             )
             if tracker:
                 tracker.log(
