@@ -105,7 +105,8 @@ def main():
 
     def run():
         out, _ = patch_based_denoise_batch(
-            bridge, params, pcls, patch_size=cfg.data.npoints, seed_k=3, steps=5
+            bridge, params, pcls, patch_size=cfg.data.npoints, seed_k=3,
+            steps=5, recombine_mode="bucketed",
         )
         return out
 
@@ -118,11 +119,36 @@ def main():
     best = min(times)
     total_points = N_OBJECTS * N_POINTS
 
-    # device-only estimate: subtract the measured tunnel cost of moving
-    # the input + output through the 19 MB/s link (fixed latency + bytes)
-    xfer_bytes = 2 * total_points * 3 * 4
-    t_xfer = 0.16 + xfer_bytes / 19e6
-    device_pps = total_points / max(best - t_xfer, 1e-9)
+    # trace-derived device time (VERDICT r2 #7: measured, not the old
+    # analytic tunnel subtraction) + model-FLOPs MFU
+    import shutil
+
+    from p2p_bridge_tpu.utils.opstats import (
+        device_busy_seconds,
+        peak_flops,
+    )
+
+    trace_dir = "/tmp/p2pb_bench_trace"
+    shutil.rmtree(trace_dir, ignore_errors=True)
+    with jax.profiler.trace(trace_dir):
+        run()
+    dev_s = device_busy_seconds(trace_dir)
+    device_pps = total_points / dev_s
+
+    # forward cost via XLA cost analysis: the sampler evaluates the
+    # U-Net once per step; patching/recombination FLOPs are excluded, so
+    # this MFU is a model-FLOPs lower bound
+    B_pat = 73  # 3 * 50000 / 2048 seeds -> patches per object
+    xp = jnp.zeros((B_pat, cfg.data.npoints, 3))
+    tp = jnp.zeros((B_pat,))
+    fwd = jax.jit(lambda p, x, t: model.apply(p, x, t, None, True))
+    ca = fwd.lower(params, xp, tp).compile().cost_analysis()
+    if isinstance(ca, list):
+        ca = ca[0]
+    fwd_tflop = float(ca.get("flops", 0.0)) / 1e12
+    model_tflop = fwd_tflop * 5 * N_OBJECTS
+    peak = peak_flops(jax.devices()[0])
+    mfu = model_tflop * 1e12 / dev_s / peak if peak else None
 
     pps = total_points / best
     print(
@@ -133,6 +159,10 @@ def main():
                 "unit": "points/sec/chip",
                 "vs_baseline": round(pps / A100_REFERENCE_POINTS_PER_SEC, 3),
                 "device_points_per_sec": round(device_pps, 1),
+                "device_seconds_trace": round(dev_s, 4),
+                "mfu_model_flops": round(mfu, 4) if mfu else None,
+                "tflop_per_forward_b73": round(fwd_tflop, 3),
+                "recombine": "bucketed_per_patch_fps",
                 "objects_per_measurement": N_OBJECTS,
                 "seconds_end_to_end": round(best, 3),
                 "baseline_note": "denominator is an estimated A100 figure"

@@ -73,6 +73,31 @@ def _build_recombine(N):
     return jax.jit(recombine)
 
 
+def _build_recombine_bucketed(N, S, K):
+    """Patch-bucketed FPS recombination (reference accepts the same
+    relaxation at room scale via fpsample bucket FPS,
+    denoise_room.py:404): each of the S patches is a spatially coherent
+    bucket, so an equal per-patch FPS quota approximates global FPS at
+    1/S of the serial-iteration cost (the exact 50k-iteration FPS is the
+    single largest op of the inference pipeline, ~73 ms/object; this is
+    ~2.5 ms). Quota remainders drop the LOWEST-rank picks (FPS picks are
+    ordered most-spread-first) of the highest-index patches.
+    """
+    M_per = -(-N // S)  # ceil
+
+    def recombine(flats):
+        # flats [O, S*K, 3] -> [O, N, 3]
+        O = flats.shape[0]
+        pp = flats.reshape(O * S, K, 3)
+        idx = furthest_point_sample(pp, M_per)  # [O*S, M_per]
+        picked = jnp.take_along_axis(pp, idx[..., None], axis=1)
+        # rank-major interleave so the trim removes last-rank picks
+        picked = picked.reshape(O, S, M_per, 3).transpose(0, 2, 1, 3)
+        return picked.reshape(O, S * M_per, 3)[:, :N]
+
+    return jax.jit(recombine)
+
+
 def patch_based_denoise_batch(
     bridge,
     params,
@@ -82,12 +107,16 @@ def patch_based_denoise_batch(
     steps: int = 5,
     clip_denoise: bool = False,
     save_intermediate: bool = False,
+    recombine_mode: str = "exact",
 ) -> Tuple[np.ndarray, Optional[np.ndarray]]:
     """Denoise a batch of normalized object clouds.
 
     Args:
       bridge: P2PBridge; params: backbone params (EMA pytree for use_ema).
       pcls: [O, N, 3] (already unit-sphere normalized).
+      recombine_mode: "exact" (reference semantics: one global FPS over
+        the S*K denoised points) or "bucketed" (per-patch FPS quota,
+        ~30x faster; see _build_recombine_bucketed).
     Returns:
       (denoised [O, N, 3], steps [O, T, N, 3] or None)
     """
@@ -103,9 +132,13 @@ def patch_based_denoise_batch(
             save_intermediate,
         )
     denoise_one = _PIPELINE_CACHE[key]
-    rkey = ("recombine", N)
+    rkey = ("recombine", N, recombine_mode, num_seeds, patch_size)
     if rkey not in _PIPELINE_CACHE:
-        _PIPELINE_CACHE[rkey] = _build_recombine(N)
+        _PIPELINE_CACHE[rkey] = (
+            _build_recombine_bucketed(N, num_seeds, patch_size)
+            if recombine_mode == "bucketed"
+            else _build_recombine(N)
+        )
     recombine = _PIPELINE_CACHE[rkey]
 
     flats, chains = [], []

@@ -110,8 +110,11 @@ class SE(nn.Module):
     return_gate: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        pooled = jnp.mean(x, axis=(1, 2, 3))  # [B, C]
+    def __call__(
+        self, x: jnp.ndarray = None, pooled: jnp.ndarray = None
+    ) -> jnp.ndarray:
+        if pooled is None:
+            pooled = jnp.mean(x, axis=(1, 2, 3))  # [B, C]
         h = nn.Dense(self.channels // self.reduction, use_bias=False,
                      dtype=self.dtype)(pooled)
         h = nn.relu(h)

@@ -36,6 +36,7 @@ from ..ops import (
     nearest_neighbor_interpolate,
     normalize_coords_to_voxels,
     trilinear_devoxelize,
+    trilinear_devoxelize_with_mean,
 )
 from .modules import AdaGN, LinearAttention, SE, SharedMLP, swish
 
@@ -269,16 +270,17 @@ class PVConv(nn.Module):
         else:
             h = nn.GroupNorm(num_groups=8, epsilon=1e-5, name="vnorm2",
                              dtype=self.dtype)(h)
-        gate = None
         if self.use_se:
             # gate only: SE's per-(b, c) scale commutes with the linear
-            # devoxelize, so it is applied on [B, N, C] points below
+            # devoxelize, so it is applied on [B, N, C] points below.
+            # The SE pooling itself rides the devoxelize kernel (the
+            # grid is already VMEM-resident there — no extra HBM pass).
+            fused, pooled = trilinear_devoxelize_with_mean(h, cont, r)
             gate = SE(channels=s.out_channels, dtype=self.dtype,
-                      return_gate=True)(h)
-
-        fused = trilinear_devoxelize(h, cont, r)  # [B, N, C_out]
-        if gate is not None:
+                      return_gate=True)(pooled=pooled.astype(self.dtype))
             fused = fused * gate[:, None, :].astype(fused.dtype)
+        else:
+            fused = trilinear_devoxelize(h, cont, r)  # [B, N, C_out]
         # point branch (add_point_feat default True, pvcnn.py:295-302)
         fused = fused + SharedMLP(
             out_channels=(s.out_channels,), use_cond=self.use_cond,

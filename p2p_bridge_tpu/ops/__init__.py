@@ -8,7 +8,7 @@ ops/common.py. Each op documents the CUDA kernel it mirrors.
 from .ball_query import ball_query
 from .fused_group import ball_query_group
 from .common import batched_take, pairwise_sqdist
-from .devoxelize import trilinear_devoxelize
+from .devoxelize import trilinear_devoxelize, trilinear_devoxelize_with_mean
 from .fps import (
     bucket_fps,
     furthest_point_sample,
@@ -25,6 +25,7 @@ __all__ = [
     "batched_take",
     "pairwise_sqdist",
     "trilinear_devoxelize",
+    "trilinear_devoxelize_with_mean",
     "bucket_fps",
     "furthest_point_sample",
     "furthest_point_sample_and_gather",

@@ -151,3 +151,58 @@ def _devox_bwd(resolution, residuals, g):
 
 
 trilinear_devoxelize.defvjp(_devox_fwd, _devox_bwd)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def trilinear_devoxelize_with_mean(
+    grid: jnp.ndarray, coords: jnp.ndarray, resolution: int
+):
+    """Devoxelize AND return the per-channel voxel mean [B, C] f32.
+
+    The mean is the squeeze-excite pooling over the same grid the
+    devoxelization consumes; on the TPU Pallas path it is computed while
+    the grid is VMEM-resident, saving SE's separate full-grid HBM
+    reduction (~1.6 ms at B=73, r=32, C=64). Elsewhere it falls back to
+    devox + jnp.mean — identical math.
+    """
+    r = resolution
+    B = grid.shape[0]
+    C = grid.shape[-1]
+    if (
+        jax.devices()[0].platform == "tpu"
+        and grid.dtype == jnp.bfloat16
+        and r * r * r * C * 2 <= 8 * 2**20
+    ):
+        from .pallas.devox_kernel import trilinear_devoxelize_pallas
+
+        return trilinear_devoxelize_pallas(
+            grid, coords, r, False, True
+        )
+    out = trilinear_devoxelize(grid, coords, r)
+    mean = jnp.mean(
+        grid.astype(jnp.float32), axis=(1, 2, 3)
+    )  # [B, C]
+    return out, mean
+
+
+def _devox_mean_fwd(grid, coords, resolution):
+    return (
+        trilinear_devoxelize_with_mean.__wrapped__(grid, coords, resolution),
+        coords,
+    )
+
+
+def _devox_mean_bwd(resolution, residuals, gs):
+    coords = residuals
+    g_out, g_mean = gs
+    r = resolution
+    grad_grid, _ = _devox_bwd(resolution, coords, g_out)
+    # mean backward: broadcast g_mean / r^3 over the voxels (fuses into
+    # the einsum-output epilogue)
+    grad_grid = grad_grid + (
+        g_mean.astype(jnp.float32)[:, None, None, None, :] / float(r**3)
+    ).astype(grad_grid.dtype)
+    return (grad_grid, None)
+
+
+trilinear_devoxelize_with_mean.defvjp(_devox_mean_fwd, _devox_mean_bwd)

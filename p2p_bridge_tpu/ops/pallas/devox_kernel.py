@@ -33,14 +33,30 @@ def _round_up(v, m):
     return -(-v // m) * m
 
 
-def _devox_kernel(grid_ref, lo_ref, frac_ref, out_ref, *, r, C, tn):
+def _devox_kernel(grid_ref, lo_ref, frac_ref, out_ref, mean_ref=None,
+                  *, r, C, tn):
     """One (batch, point-tile) per grid step.
 
     grid_ref: [1, r*r, r*C] VMEM — the voxel grid, xy-major.
     lo_ref:   [1, tn, 3] i32 VMEM — floor voxel coords per point.
     frac_ref: [1, tn, 3] f32 VMEM — fractional parts per point.
     out_ref:  [1, tn, C] VMEM.
+    mean_ref: [1, 1, C] f32 VMEM (optional) — per-channel mean over all
+      r^3 voxels, computed once per batch element while the grid is
+      already VMEM-resident (saves the squeeze-excite module a separate
+      full-grid HBM reduction pass).
     """
+    if mean_ref is not None:
+        @pl.when(pl.program_id(1) == 0)
+        def _():
+            s = jnp.sum(
+                grid_ref[0].astype(jnp.float32), axis=0, keepdims=True
+            )  # [1, r*C]
+            acc = jnp.zeros((1, C), jnp.float32)
+            for k in range(r):
+                acc = acc + s[:, k * C:(k + 1) * C]
+            mean_ref[0] = acc / float(r * r * r)
+
     lo = lo_ref[0]      # [tn, 3]
     frac = frac_ref[0]  # [tn, 3]
 
@@ -78,19 +94,22 @@ def _devox_kernel(grid_ref, lo_ref, frac_ref, out_ref, *, r, C, tn):
     out_ref[0] = acc.astype(out_ref.dtype)
 
 
-@partial(jax.jit, static_argnums=(2, 3))
+@partial(jax.jit, static_argnums=(2, 3, 4))
 def trilinear_devoxelize_pallas(
     grid: jnp.ndarray, coords: jnp.ndarray, resolution: int,
-    interpret: bool = False,
-) -> jnp.ndarray:
+    interpret: bool = False, with_mean: bool = False,
+):
     """Trilinear interpolation of grid features at continuous coords.
 
     Args:
       grid: [B, r, r, r, C] voxel features (any float dtype).
       coords: [B, N, 3] continuous coords in [0, r-1].
       resolution: r (static).
+      with_mean: also return the per-channel voxel mean [B, C] f32
+        (computed in VMEM — the squeeze-excite pooling fused in).
     Returns:
-      [B, N, C] features in grid.dtype.
+      [B, N, C] features in grid.dtype; with ``with_mean``, a tuple
+      ([B, N, C], [B, C] f32).
     """
     r = resolution
     B, N = coords.shape[0], coords.shape[1]
@@ -108,6 +127,19 @@ def trilinear_devoxelize_pallas(
 
     g2 = grid.astype(jnp.bfloat16).reshape(B, r * r, r * C)
     kernel = partial(_devox_kernel, r=r, C=C, tn=tn)
+    out_specs = pl.BlockSpec((1, tn, C), lambda b, t: (b, t, 0),
+                             memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((B, n_pad, C), grid.dtype)
+    if with_mean:
+        out_specs = [
+            out_specs,
+            pl.BlockSpec((1, 1, C), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        out_shape = [
+            out_shape,
+            jax.ShapeDtypeStruct((B, 1, C), jnp.float32),
+        ]
     out = pl.pallas_call(
         kernel,
         grid=(B, n_pad // tn),
@@ -119,12 +151,13 @@ def trilinear_devoxelize_pallas(
             pl.BlockSpec((1, tn, 3), lambda b, t: (b, t, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, tn, C), lambda b, t: (b, t, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, n_pad, C), grid.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 2**20,
         ),
         interpret=interpret,
     )(g2, lo, frac)
+    if with_mean:
+        return out[0][:, :N], out[1][:, 0]
     return out[:, :N]

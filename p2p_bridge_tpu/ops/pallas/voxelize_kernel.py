@@ -1,0 +1,194 @@
+"""Pallas TPU kernels for average voxelization (scatter) + its backward
+(gather).
+
+TPU-native equivalent of the CUDA ``avg_voxelize`` scatter
+(reference: third_party/pvcnn/functional/src/voxelization/vox.cu:18-126).
+
+The XLA-side one-hot MXU formulation (ops/voxelize.py) burns
+B*N*r^3*C*2 FLOPs to express a scatter (~630 GFLOP for the r=32/C=64
+stage: ~5.9 ms at B=73 — near the MXU roofline for those *junk* FLOPs,
+plus a ~5 ms VPU one-hot compare bill and a chunk-concat HBM pass).
+Here the scatter is what it is: a serial VMEM read-modify-write loop
+over the N points of each cloud, U independent accumulators deep so the
+per-point RMW chains pipeline. The count rides as an extra ones-column
+of the feature matrix, and the sum->mean division happens in VMEM before
+the single bf16 grid leaves the kernel. ~0 FLOPs, ~30 us/cloud.
+
+The backward (grad_features[n] = grad_grid[idx[n]] / cnt[idx[n]],
+vox.cu:55-79) is the matching row-gather kernel: N independent dynamic-
+sublane row reads from the grid in VMEM.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_UNROLL = 4  # independent accumulators: breaks the RMW dependency chain
+
+
+def _round_up(v, m):
+    return -(-v // m) * m
+
+
+def _scatter_kernel(idx_ref, feat_ref, out_ref, *accs, n_pts, r3, C):
+    """One batch element per grid step.
+
+    idx_ref:  [1, 1, n_pad] i32 SMEM — flat voxel index per point
+              (padded points carry r3, the dump row).
+    feat_ref: [1, n_pad, C+1] f32 VMEM — features with a trailing ones
+              column (zeros on padded points). f32: Mosaic requires
+              static multiple-of-8 sublane indices for packed (bf16)
+              dynamic row loads, so sub-f32 inputs are cast on entry.
+    out_ref:  [1, r3, C] VMEM — per-voxel feature means.
+    accs:     _UNROLL f32 VMEM scratch accumulators [r3 + 8, C + 1].
+    """
+    for acc in accs:
+        acc[...] = jnp.zeros_like(acc)
+
+    def body(i, _):
+        for u in range(_UNROLL):
+            n = i * _UNROLL + u
+            v = idx_ref[0, 0, n]
+            row = accs[u][pl.ds(v, 1), :]
+            accs[u][pl.ds(v, 1), :] = row + feat_ref[0, pl.ds(n, 1), :]
+        return 0
+
+    jax.lax.fori_loop(0, n_pts // _UNROLL, body, 0)
+
+    total = accs[0][...]
+    for acc in accs[1:]:
+        total = total + acc[...]
+    cnt = jnp.maximum(total[:r3, C:], 1.0)
+    out_ref[0] = (total[:r3, :C] / cnt).astype(out_ref.dtype)
+
+
+def _gather_kernel(idx_ref, grid_ref, out_ref, *, n_pts, C):
+    """out[n] = grid[idx[n]] — the scatter's transpose (row gather).
+
+    idx_ref:  [1, 1, n_pad] i32 SMEM.
+    grid_ref: [1, r3, C] f32 VMEM (f32: dynamic sublane loads).
+    out_ref:  [1, n_pad, C] f32 VMEM.
+    """
+
+    def body(i, _):
+        for u in range(_UNROLL):
+            n = i * _UNROLL + u
+            v = idx_ref[0, 0, n]
+            out_ref[0, pl.ds(n, 1), :] = grid_ref[0, pl.ds(v, 1), :]
+        return 0
+
+    jax.lax.fori_loop(0, n_pts // _UNROLL, body, 0)
+
+
+def scatter_vmem_bytes(N: int, r3: int, C: int) -> int:
+    """Estimated kernel VMEM footprint (lane-padded), for gating."""
+    lanes = _round_up(C + 1, 128)
+    acc = _UNROLL * (r3 + 8) * lanes * 4
+    feat = _round_up(N, 8) * lanes * 4
+    out = r3 * _round_up(C, 128) * 2
+    return acc + feat + out
+
+
+@partial(jax.jit, static_argnums=(2, 3))
+def avg_voxelize_scatter_pallas(
+    features: jnp.ndarray,
+    idx: jnp.ndarray,
+    r3: int,
+    interpret: bool = None,
+) -> jnp.ndarray:
+    """Scatter-mean features into a flat voxel grid.
+
+    Args:
+      features: [B, N, C] point features (f32 or bf16; accumulation is
+        f32 either way, so f32 inputs are scattered *exactly* — tighter
+        than the one-hot path's hi/lo bf16 split).
+      idx: [B, N] int32 flat voxel indices in [0, r3).
+      r3: number of voxels (static).
+    Returns:
+      [B, r3, C] per-voxel means in features.dtype (empty voxels -> 0).
+    """
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    B, N, C = features.shape
+    n_pad = _round_up(N, 8 * _UNROLL)
+    ones = jnp.ones((B, N, 1), jnp.float32)
+    feat = jnp.concatenate([features.astype(jnp.float32), ones], axis=-1)
+    if n_pad != N:
+        feat = jnp.pad(feat, ((0, 0), (0, n_pad - N), (0, 0)))
+        idx = jnp.pad(idx, ((0, 0), (0, n_pad - N)), constant_values=r3)
+    idx = idx.reshape(B, 1, n_pad)
+
+    kernel = partial(_scatter_kernel, n_pts=n_pad, r3=r3, C=C)
+    out = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, 1, n_pad), lambda b: (b, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, n_pad, C + 1), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, r3, C), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, r3, C), features.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((r3 + 8, C + 1), jnp.float32)
+            for _ in range(_UNROLL)
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 2**20,
+        ),
+        interpret=interpret,
+    )(idx, feat)
+    return out
+
+
+@partial(jax.jit, static_argnums=(2,))
+def gather_rows_pallas(
+    grid: jnp.ndarray,
+    idx: jnp.ndarray,
+    interpret: bool = None,
+) -> jnp.ndarray:
+    """out[b, n] = grid[b, idx[b, n]] — batched row gather.
+
+    Args:
+      grid: [B, r3, C] (f32 or bf16).
+      idx: [B, N] int32 row indices in [0, r3).
+    Returns:
+      [B, N, C] gathered rows in grid.dtype.
+    """
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    B, r3, C = grid.shape
+    out_dtype = grid.dtype
+    grid = grid.astype(jnp.float32)
+    N = idx.shape[1]
+    n_pad = _round_up(N, 8 * _UNROLL)
+    if n_pad != N:
+        idx = jnp.pad(idx, ((0, 0), (0, n_pad - N)))
+    idx = idx.reshape(B, 1, n_pad)
+
+    kernel = partial(_gather_kernel, n_pts=n_pad, C=C)
+    out = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, 1, n_pad), lambda b: (b, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, r3, C), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, n_pad, C), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, n_pad, C), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 2**20,
+        ),
+        interpret=interpret,
+    )(idx, grid)
+    return out[:, :N].astype(out_dtype)

@@ -21,6 +21,8 @@ Layout: features [B, N, C], coords int32 [B, N, 3] -> grid [B, r, r, r, C]
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 
@@ -41,10 +43,14 @@ def avg_voxelize(
 ) -> jnp.ndarray:
     """Scatter-mean features into a voxel grid.
 
-    Two implementations:
+    Three implementations:
       * exact f32 scatter-add (bit-matches the CUDA semantics up to
         reduction order) — default off TPU;
-      * one-hot MXU matmul (TPU default): the one-hot generator fuses
+      * VMEM Pallas scatter (TPU default when it fits): a true serial
+        read-modify-write over the N points with 4 interleaved f32
+        accumulators — 0 FLOPs vs the one-hot form's B*N*r^3*C*2, and
+        exact for f32 inputs (ops/pallas/voxelize_kernel.py);
+      * one-hot MXU matmul (TPU fallback): the one-hot generator fuses
         into the matmul operand, ~20x faster than XLA scatter at
         (B=73, N=2048, r=32). bf16 inputs are used as-is (lossless: the
         one-hot is exact and the MXU accumulates in f32); f32 inputs ride
@@ -64,6 +70,14 @@ def avg_voxelize(
     idx = flat_voxel_index(vox_coords, r)  # [B, N]
     if exact is None:
         exact = jax.devices()[0].platform != "tpu"
+
+    if not exact:
+        from .pallas.voxelize_kernel import scatter_vmem_bytes
+
+        if scatter_vmem_bytes(N, r3, C) <= 100 * 2**20:
+            return _avg_voxelize_pallas(features, idx, r3).reshape(
+                B, r, r, r, C
+            )
 
     if exact:
         def one_batch(feat, flat):
@@ -127,6 +141,49 @@ def avg_voxelize(
         )
     grid = jnp.concatenate(parts, axis=1)
     return grid.reshape(B, r, r, r, C)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _avg_voxelize_pallas(features, idx, r3):
+    """VMEM scatter voxelize with the CUDA backward semantics
+    (vox.cu:55-79): grad_feat[n] = grad_grid[idx[n]] / count[idx[n]]."""
+    from .pallas.voxelize_kernel import avg_voxelize_scatter_pallas
+
+    return avg_voxelize_scatter_pallas(features, idx, r3)
+
+
+def _avp_fwd(features, idx, r3):
+    proto = jnp.zeros((0,), features.dtype)  # dtype carrier
+    return _avg_voxelize_pallas(features, idx, r3), (idx, proto)
+
+
+def _avp_bwd(r3, res, g):
+    idx, proto = res
+    fdt = proto.dtype
+    from .pallas.voxelize_kernel import gather_rows_pallas
+
+    B, N = idx.shape
+    r = round(r3 ** (1.0 / 3.0))
+    # exact counts via the factorized one-hot (B*N*r^3*2 FLOPs on the
+    # MXU — ~0.1 ms at the hot shape, far below a full one-hot)
+    xy = idx // r
+    z = idx - xy * r
+    oh_xy = (xy[..., None] == jnp.arange(r * r, dtype=idx.dtype)).astype(
+        jnp.bfloat16
+    )
+    oh_z = (z[..., None] == jnp.arange(r, dtype=idx.dtype)).astype(
+        jnp.bfloat16
+    )
+    cnt = jnp.einsum(
+        "bnv,bnk->bvk", oh_xy, oh_z, preferred_element_type=jnp.float32
+    ).reshape(B, r3)
+    cnt_pts = jnp.take_along_axis(jnp.maximum(cnt, 1.0), idx, axis=1)
+    rows = gather_rows_pallas(g, idx)  # [B, N, C]
+    grad_feat = (rows.astype(jnp.float32) / cnt_pts[..., None]).astype(fdt)
+    return (grad_feat, None)
+
+
+_avg_voxelize_pallas.defvjp(_avp_fwd, _avp_bwd)
 
 
 def normalize_coords_to_voxels(
