@@ -255,3 +255,134 @@ def test_full_scale_punet_forward_parity():
     err = np.abs(got - want).max()
     scale = max(np.abs(want).max(), 1.0)
     assert err < 2e-3 * scale, f"full-scale forward mismatch {err} vs {scale}"
+
+
+def test_full_scale_snpp_conditioned_forward_parity():
+    """Conditioned-flagship parity (VERDICT r2 #5): the SHIPPED
+    PVDL_SNPP config (118.7M params, extra_feature_channels=384),
+    torch-initialized, converted, compared on a full 4096-point forward
+    WITH x_cond — pins the feature-embedding MLP, the global-embedding
+    AdaGN conditioning path (reference models/unet_pvc.py:59-69,194-198)
+    and every production layer width."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from p2p_bridge_tpu.models.unet_pvc import build_unet_from_config
+    from p2p_bridge_tpu.utils.config import Config
+    from p2p_bridge_tpu.utils.torch_compat import (
+        convert_torch_state_dict,
+        load_reference_model,
+    )
+
+    cfg = Config.load(os.path.join(os.path.dirname(__file__), "..",
+                                   "configs", "PVDL_SNPP.yaml"))
+    cfg.model.dropout = 0.0
+    cfg.model.compute_dtype = "f32"  # parity needs the f32 compute path
+    cfg_dict = cfg.to_dict()
+
+    torch.manual_seed(3)
+    tmodel = load_reference_model(cfg_dict)
+    n_torch = sum(v.numel() for v in tmodel.state_dict().values())
+
+    fmodel = build_unet_from_config(Config(cfg_dict))
+    N = 4096
+    x0 = jnp.zeros((1, N, 3), jnp.float32)
+    c0 = jnp.zeros((1, N, 384), jnp.float32)
+    template = fmodel.init({"params": jax.random.key(0)}, x0,
+                           jnp.zeros((1,)), c0, True)
+    assert (
+        sum(x.size for x in jax.tree.leaves(template))
+        == n_torch
+        == 118_666_115
+    )
+
+    variables = convert_torch_state_dict(tmodel.state_dict(), template)
+
+    rng = np.random.default_rng(5)
+    x = (rng.normal(size=(1, 3, N)) * 0.4).astype(np.float32)
+    xc = (rng.normal(size=(1, 384, N)) * 0.5).astype(np.float32)
+    t = np.full((1,), 700.0, np.float32)
+    with torch.no_grad():
+        want = tmodel(
+            torch.from_numpy(x), torch.from_numpy(t), torch.from_numpy(xc)
+        ).numpy()
+    got = np.asarray(
+        fmodel.apply(variables, jnp.asarray(x.transpose(0, 2, 1)),
+                     jnp.asarray(t), jnp.asarray(xc.transpose(0, 2, 1)),
+                     True)
+    ).transpose(0, 2, 1)
+    err = np.abs(got - want).max()
+    scale = max(np.abs(want).max(), 1.0)
+    assert err < 2e-3 * scale, f"conditioned forward mismatch {err} vs {scale}"
+
+
+def test_conditioned_sampler_chain_short():
+    """Two conditioned sampler steps through a small-but-conditioned
+    model (feature embedding + AdaGN active) stay within the
+    compounding-parity envelope (VERDICT r2 #5, sampler-chain half)."""
+    import torch
+    import jax
+    import jax.numpy as jnp
+
+    from p2p_bridge_tpu.models.p2pb import P2PBridge
+    from p2p_bridge_tpu.models.unet_pvc import build_unet_from_config
+    from p2p_bridge_tpu.utils.config import Config
+    from p2p_bridge_tpu.utils.torch_compat import (
+        convert_torch_state_dict,
+        load_reference_bridge,
+        load_reference_model,
+    )
+
+    cond_cfg = {
+        "data": {"npoints": 256},
+        "model": {
+            "in_dim": 3, "extra_feature_channels": 12, "out_dim": 3,
+            "time_embed_dim": 16, "dropout": 0.0, "ema": False,
+            "PVD": {
+                "use_global_embedding": True, "global_embedding_dim": 64,
+                "feat_embed_dim": 8, "attention_type": "linear",
+                "attention_heads": 2, "attentions": [0, 0, 0, 1],
+                "channels": [8, 8, 16, 16, 32],
+                "voxel_resolutions": [8, 4, 4, 4],
+                "n_sa_blocks": [1, 1, 1, 1], "n_fp_blocks": [1, 1, 1, 1],
+                "radius": [0.2, 0.4, 0.8, 1.2], "out_mlp": 16,
+            },
+        },
+        "diffusion": {
+            "timesteps": 40, "sampling_timesteps": 8,
+            "objective": "pred_noise", "beta_start": 1.0e-4,
+            "beta_end": 0.02, "t0": 1.0e-4, "T": 1.0, "ot_ode": True,
+            "loss_type": "mse", "sampling_strategy": "DDPM",
+        },
+        "gpu": "cpu",
+    }
+    torch.manual_seed(7)
+    tmodel = load_reference_model(cond_cfg)
+    fmodel = build_unet_from_config(Config(cond_cfg))
+    x0 = jnp.zeros((1, 256, 3), jnp.float32)
+    c0 = jnp.zeros((1, 256, 12), jnp.float32)
+    template = fmodel.init({"params": jax.random.key(0)}, x0,
+                           jnp.zeros((1,)), c0, True)
+    variables = convert_torch_state_dict(tmodel.state_dict(), template)
+
+    tbridge = load_reference_bridge(cond_cfg, tmodel)
+    fbridge = P2PBridge.from_config(Config(cond_cfg), fmodel)
+
+    rng = np.random.default_rng(8)
+    x1 = (rng.normal(size=(1, 3, 256)) * 0.4).astype(np.float32)
+    xc = (rng.normal(size=(1, 12, 256)) * 0.5).astype(np.float32)
+    with torch.no_grad():
+        xs, _ = tbridge.ddpm_sampling(
+            torch.from_numpy(x1), x_cond=torch.from_numpy(xc),
+            sampling_steps=2, log_count=2, verbose=False,
+        )
+    out = fbridge.sample(
+        variables, jnp.asarray(x1.transpose(0, 2, 1)), steps=2,
+        x_cond=jnp.asarray(xc.transpose(0, 2, 1)), log_count=2,
+    )
+    got = np.asarray(out["x_pred"]).transpose(0, 2, 1)
+    want = xs[:, 0].numpy()
+    scale = max(np.abs(want).max(), 1.0)
+    err = np.abs(got - want).max()
+    assert err < 2e-2 * scale, f"conditioned 2-step chain mismatch {err}"
