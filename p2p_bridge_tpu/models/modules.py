@@ -281,3 +281,77 @@ class Pnet2Stage(nn.Module):
         )
         feat = MyGroupNormMLP(channels=tuple(self.mlp2), dtype=self.dtype)(feat)
         return jnp.max(feat, axis=1)  # [B, c2]
+
+
+class ZPackConv3d(nn.Module):
+    """3x3x3 SAME conv over a voxel grid, z-packed for the MXU.
+
+    Drop-in for ``nn.Conv(features, (3, 3, 3), padding="SAME")`` — the
+    stored parameters are the standard ``kernel [3, 3, 3, Cin, Cout]`` /
+    ``bias [Cout]``, so checkpoints and torch-parity conversion are
+    unchanged. At apply time on TPU, when the channel count underfills
+    the 128-wide vector lanes (the reference's r=32 stages run C=32/64;
+    XLA's conv3d then sustains only ~21-63 TF/s of the v5e's 197), the
+    grid [B, X, Y, Z, C] is reshaped to [B, X, Y, Z/P, P*C] with
+    P = 128//max(Cin, Cout) and convolved with a structurally-zero-padded
+    dense kernel [3, 3, 3, P*Cin, P*Cout]: P times the FLOPs, but at the
+    full-lane MXU rate — measured net win at B=73 r=32 (see
+    BASELINE.md roofline). Mirrors reference models/pvcnn.py:260-276
+    (Conv3d in PVConv); exact same math (zero-pad SAME semantics match
+    because out-of-range z taps hit structurally-zero weights or the
+    conv's own SAME padding of the packed dim).
+    """
+
+    features: int
+    dtype: type = jnp.float32
+    force_pack: Optional[bool] = None  # tests: exercise packing off-TPU
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        cin = x.shape[-1]
+        cout = self.features
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (3, 3, 3, cin, cout), jnp.float32,
+        )
+        bias = self.param("bias", nn.initializers.zeros, (cout,), jnp.float32)
+        x, kernel, bias = nn.dtypes.promote_dtype(
+            x, kernel, bias, dtype=self.dtype
+        )
+        Z = x.shape[3]
+        # Measured policy (BASELINE.md roofline, B=73 r=32 v5e): packing
+        # pays only for 64->64 convs (47-63 -> 140-162 TF/s; the 2x FLOP
+        # cost is beaten by the full-lane rate). 32->32 at P=4 LOSES
+        # (4x FLOPs at 134 TF/s < 1x at 57.5), and ragged channel counts
+        # (e.g. 35) pay a 2ms tiled-layout reshape. P=2, 64-aligned only.
+        P = 2 if (cin == 64 and cout == 64 and Z % 2 == 0 and Z >= 4) else 1
+        use_pack = (
+            (jax.devices()[0].platform == "tpu"
+             if self.force_pack is None else self.force_pack)
+            and P >= 2
+        )
+        if not use_pack:
+            y = jax.lax.conv_general_dilated(
+                x, kernel, (1, 1, 1), "SAME",
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            )
+            return y + bias
+        # pack: out z-slot j, tap dz reads z_in = j+dz-1 = t*P + i
+        # -> packed tap t+1, input slot i
+        big = jnp.zeros((3, 3, 3, P * cin, P * cout), kernel.dtype)
+        for j in range(P):
+            for dz in range(3):
+                zoff = j + dz - 1
+                t, i = zoff // P, zoff % P
+                big = big.at[
+                    :, :, t + 1, i * cin:(i + 1) * cin,
+                    j * cout:(j + 1) * cout,
+                ].set(kernel[:, :, dz])
+        B, X, Y = x.shape[0], x.shape[1], x.shape[2]
+        xp = x.reshape(B, X, Y, Z // P, P * cin)
+        y = jax.lax.conv_general_dilated(
+            xp, big, (1, 1, 1), "SAME",
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        )
+        y = y.reshape(B, X, Y, Z, cout)
+        return y + bias

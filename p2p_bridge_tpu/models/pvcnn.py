@@ -38,7 +38,14 @@ from ..ops import (
     trilinear_devoxelize,
     trilinear_devoxelize_with_mean,
 )
-from .modules import AdaGN, LinearAttention, SE, SharedMLP, swish
+from .modules import (
+    AdaGN,
+    LinearAttention,
+    SE,
+    SharedMLP,
+    ZPackConv3d,
+    swish,
+)
 
 
 # ======================================================================
@@ -252,8 +259,8 @@ class PVConv(nn.Module):
         vox, cont = normalize_coords_to_voxels(coords, r)
         grid = avg_voxelize(features, vox, r)  # [B, r, r, r, C_in]
 
-        h = nn.Conv(s.out_channels, (3, 3, 3), padding="SAME", name="vconv1",
-                    dtype=self.dtype)(grid)
+        h = ZPackConv3d(s.out_channels, name="vconv1",
+                        dtype=self.dtype)(grid)
         if self.use_cond and cond is not None:
             h = AdaGN(num_channels=s.out_channels, name="vnorm1",
                       dtype=self.dtype)(h, cond)
@@ -262,8 +269,8 @@ class PVConv(nn.Module):
                              dtype=self.dtype)(h)
         h = swish(h)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
-        h = nn.Conv(s.out_channels, (3, 3, 3), padding="SAME", name="vconv2",
-                    dtype=self.dtype)(h)
+        h = ZPackConv3d(s.out_channels, name="vconv2",
+                        dtype=self.dtype)(h)
         if self.use_cond and cond is not None:
             h = AdaGN(num_channels=s.out_channels, name="vnorm2",
                       dtype=self.dtype)(h, cond)

@@ -171,3 +171,25 @@ def test_dropout_rng_changes_training_output(tiny_model):
         variables, x, t, None, False, rngs={"dropout": jax.random.key(2)}
     )
     assert not np.allclose(np.asarray(o1), np.asarray(o2), atol=1e-6)
+
+
+def test_zpack_conv_matches_standard():
+    """ZPackConv3d packed path (z-planes folded into lanes) is the same
+    math as the standard conv3d, for P=2 (C=64-style) and P=4
+    (C=32-style) and Cin != Cout."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from p2p_bridge_tpu.models.modules import ZPackConv3d
+
+    rng = np.random.default_rng(11)
+    for cin, cout in ((64, 64),):
+        x = jnp.asarray(rng.normal(size=(2, 8, 8, 8, cin)), jnp.float32)
+        std = ZPackConv3d(cout, force_pack=False)
+        params = std.init(jax.random.key(0), x)
+        want = np.asarray(std.apply(params, x))
+        got = np.asarray(
+            ZPackConv3d(cout, force_pack=True).apply(params, x)
+        )
+        np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
