@@ -21,6 +21,7 @@ from ..data.batch import get_data_batch
 from ..metrics import (
     calculate_cd,
     calculate_emd,
+    calculate_emd_exact,
     chamfer_distance,
     normalize_pcl,
     normalize_sphere,
@@ -165,7 +166,12 @@ class Evaluator:
         self.pcls_high = load_xyz_dir(self.gts_pcl_dir)
         self.meshes = load_off_dir(self.gts_mesh_dir)
 
-    def run(self) -> Dict[str, Dict[str, float]]:
+    def run(self, with_emd: bool = True) -> Dict[str, Dict[str, float]]:
+        """CD/P2M per shape; with ``with_emd``, also approx-EMD and
+        exact auction-EMD on a matched 2048-point subsample (the
+        reference's in-training protocol tracks EMD too,
+        evaluation.py:166-180; EMD needs equal-size clouds, so both are
+        subsampled with a per-shape-deterministic seed)."""
         import pandas as pd
 
         results = {}
@@ -181,18 +187,43 @@ class Evaluator:
                 pcl_up3[0], mesh["verts"], mesh["faces"]
             )
             results[name] = {"cd_sph": cd_sph, "p2f": p2f}
+            if with_emd:
+                k = 2048
+                rng = np.random.default_rng(abs(hash(name)) % (2**32))
+                sub_p = pcl_up3[0][
+                    rng.choice(pcl_up3.shape[1], k, replace=False)
+                ][None]
+                sub_g = pcl_high[0][
+                    rng.choice(pcl_high.shape[1], k,
+                               replace=pcl_high.shape[1] < k)
+                ][None]
+                ref_n, center, scale = normalize_sphere(jnp.asarray(sub_g))
+                gen_n = normalize_pcl(jnp.asarray(sub_p), center, scale)
+                results[name]["emd_sub"] = float(
+                    np.mean(calculate_emd(gen_n, ref_n))
+                ) * 1000.0
+                results[name]["emd_exact_sub"] = float(
+                    np.mean(
+                        calculate_emd_exact(gen_n, ref_n, eps=0.001,
+                                            iters=10000)
+                    )
+                ) * 1000.0
 
         df = pd.DataFrame(results).transpose()
         res_mean = df.mean(axis=0)
         logger.info("\n%s", repr(df))
         logger.info("Mean: %s", dict(res_mean))
         os.makedirs(self.summary_dir, exist_ok=True)
+        metrics = {
+            "cd_sph(mean)": res_mean["cd_sph"],
+            "p2f(mean)": res_mean["p2f"],
+        }
+        if with_emd:
+            metrics["emd_sub(mean)"] = res_mean["emd_sub"]
+            metrics["emd_exact_sub(mean)"] = res_mean["emd_exact_sub"]
         update_summary(
             os.path.join(self.summary_dir, f"Summary_{self.dataset}.csv"),
             model=self.experiment_name,
-            metrics={
-                "cd_sph(mean)": res_mean["cd_sph"],
-                "p2f(mean)": res_mean["p2f"],
-            },
+            metrics=metrics,
         )
         return results

@@ -131,8 +131,11 @@ def auction_emd_pallas(
     B, N, M = d2.shape
     kernel = partial(_auction_kernel, n=N, m=M, eps=float(eps),
                      iters=int(iters))
-    # per-step VMEM: the [N, M] block + [N]/[M] vectors + headroom
-    vmem_need = (N * M + 8 * N + 8 * M) * 4 + (1 << 22)
+    # per-step VMEM: the [N, M] input block plus ~5 live [N, M] f32
+    # loop temporaries (value / bids / masks in body()) + vectors +
+    # headroom. Undercounting trips the Mosaic scoped-vmem stack check
+    # (measured: [2, 1024, 1024] needs 17.3 MB of stack).
+    vmem_need = (6 * N * M + 16 * N + 16 * M) * 4 + (1 << 22)
     assign, dist = pl.pallas_call(
         kernel,
         grid=(B,),

@@ -87,6 +87,7 @@ def make_train_step(
     accumulation_steps: int = 1,
     ema_decay: float = 0.999,
     align_cfg: Optional[dict] = None,
+    return_grads: bool = False,
 ):
     """Build the jittable train step.
 
@@ -158,6 +159,7 @@ def make_train_step(
             loss, grads = jax.value_and_grad(loss_for)(state.params, rng, batch)
 
         grad_norm = optax.global_norm(grads)
+        raw_grads = grads if return_grads else None
         if grad_clip is not None:
             scale = jnp.minimum(1.0, grad_clip / (grad_norm + 1e-6))
             grads = jax.tree.map(lambda g: g * scale, grads)
@@ -177,6 +179,11 @@ def make_train_step(
             "grad_norm": grad_norm,
             "param_norm": param_norm,
         }
+        if return_grads:
+            # wandb.watch gradient histograms (reference train.py:94-98):
+            # a separately-compiled watch variant ships the (unclipped)
+            # grad pytree to host only on watch steps
+            metrics["grads"] = raw_grads
         return (
             TrainState(new_params, new_opt_state, new_ema, state.step + 1),
             metrics,

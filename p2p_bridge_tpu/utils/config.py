@@ -173,7 +173,11 @@ def apply_dot_overrides(cfg: Config, argv: List[str]) -> List[str]:
     i = 0
     while i < len(argv):
         tok = argv[i]
-        if tok.startswith("--") and i + 1 < len(argv):
+        if "=" in tok:  # --a.b=v and bare a.b=v forms
+            key, value = tok.lstrip("-").split("=", 1)
+            cfg.set_dotted(key, _parse_scalar(value))
+            i += 1
+        elif tok.startswith("--") and i + 1 < len(argv):
             key = tok[2:]
             value = argv[i + 1]
             cfg.set_dotted(key, _parse_scalar(value))
@@ -181,4 +185,12 @@ def apply_dot_overrides(cfg: Config, argv: List[str]) -> List[str]:
         else:
             leftover.append(tok)
             i += 1
+    if leftover:
+        # a silently-dropped override can cost a whole training run —
+        # make it loud
+        import logging
+
+        logging.getLogger("p2pb").warning(
+            "Unrecognized CLI tokens (ignored): %s", leftover
+        )
     return leftover

@@ -197,3 +197,40 @@ def test_fused_alignment_shards_on_mesh():
     np.testing.assert_allclose(
         float(m_mesh["loss"]), float(m_single["loss"]), rtol=1e-5
     )
+
+
+def test_return_grads_variant():
+    """The watch_gradients step variant ships the (pre-clip) grad pytree
+    in metrics without changing the training math. (Self-contained: the
+    module fixture's arrays may have been donated by the mesh tests.)"""
+    sched = BridgeSchedule.create(timesteps=100)
+    bridge = P2PBridge(model=LinearNet(), schedule=sched, ot_ode=True)
+    params = {"w": jnp.ones(()), "b": jnp.zeros(())}
+    cfg = Config({"training": {"optimizer": {"type": "AdamW", "lr": 1e-2,
+                                             "beta1": 0.9, "beta2": 0.999,
+                                             "weight_decay": 0.0},
+                               "scheduler": {"type": "constant"}}})
+    opt = make_optimizer(cfg)
+    rng0 = np.random.default_rng(0)
+    batch = {
+        "x_gt": jnp.asarray(rng0.normal(size=(8, 16, 3)), jnp.float32),
+        "x_start": jnp.asarray(rng0.normal(size=(8, 16, 3)), jnp.float32),
+    }
+    step = make_train_step(bridge, opt, grad_clip=1.0, return_grads=True)
+    state = init_train_state(params, opt, use_ema=False)
+    s1, m = jax.jit(step)(state, jax.random.key(0), batch)
+    assert set(m["grads"].keys()) == set(params.keys())
+    gn = float(
+        jnp.sqrt(sum(jnp.sum(g**2) for g in jax.tree.leaves(m["grads"])))
+    )
+    np.testing.assert_allclose(gn, float(m["grad_norm"]), rtol=1e-5)
+
+    plain = make_train_step(bridge, opt, grad_clip=1.0)
+    s2, m2 = jax.jit(plain)(
+        init_train_state(params, opt, use_ema=False),
+        jax.random.key(0), batch,
+    )
+    np.testing.assert_allclose(float(m2["loss"]), float(m["loss"]), rtol=1e-6)
+    np.testing.assert_allclose(
+        float(s2.params["w"]), float(s1.params["w"]), rtol=1e-6
+    )

@@ -112,6 +112,7 @@ def train(cfg) -> None:
         mesh,
     )
     state = replicate_state(state, mesh)
+    watch_step_fn = None  # lazily built when watch_gradients fires
 
     train_iter = save_iter(train_loader)
     logger.info("Setup training and evaluation iterators (devices: %d).",
@@ -162,12 +163,27 @@ def train(cfg) -> None:
                 )
 
         # wandb.watch analogue (reference train.py:94-98): parameter
-        # histograms every watch_interval steps. (Full gradient tensors
-        # are not shipped off-device — the per-step global grad norm is
-        # in the scalar log; histograms cover the parameter side.)
+        # histograms every watch_interval steps; with
+        # training.watch_gradients, gradient histograms too (a
+        # separately-compiled step variant returns the grad pytree, so
+        # the tensors ride the device->host link only on watch steps).
         watch_interval = cfg.training.get("watch_interval", 2000)
         if tracker and watch_interval and (step + 1) % watch_interval == 0:
             tracker.log_histograms(state.params, step + 1, prefix="param")
+            if cfg.training.get("watch_gradients", False):
+                if watch_step_fn is None:
+                    watch_step_fn = jit_train_step(
+                        make_train_step(
+                            bridge, optimizer, grad_clip=grad_clip,
+                            accumulation_steps=accum, ema_decay=ema_decay,
+                            align_cfg=align_cfg, return_grads=True,
+                        ),
+                        mesh,
+                    )
+                _, watch_metrics = watch_step_fn(state, root_rng, batch)
+                tracker.log_histograms(
+                    watch_metrics["grads"], step + 1, prefix="grad"
+                )
 
         if (step + 1) % save_interval == 0:
             # ALL processes participate: with multi-host global arrays
