@@ -208,6 +208,19 @@ def train(cfg) -> None:
             except Exception as e:  # eval must never kill training (train.py:192-199)
                 logger.warning("Could not evaluate model. Skipping. (%s)", e)
 
+    # final save: the loop's modular save can miss the last steps when
+    # steps % save_interval != 0 (reference train.py saves on its own
+    # cadence; losing the tail of a long run is never acceptable)
+    final_step = cfg.training.steps
+    if final_step > start_step and final_step % save_interval != 0:
+        model_loader.save_checkpoint(
+            cfg.output_dir, final_step, state.params,
+            ema_params=state.ema.params if state.ema else None,
+            opt_state=state.opt_state,
+        )
+        if is_main:
+            logger.info("Saved final checkpoint to %s", cfg.output_dir)
+
     if tracker:
         tracker.finish()
 
