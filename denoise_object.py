@@ -37,6 +37,9 @@ def parse_args():
     parser.add_argument("--save_intermediate", action="store_true")
     parser.add_argument("--gpu", type=str, default="", help="(accepted for CLI parity; unused on TPU)")
     parser.add_argument("--steps", type=int, default=5, help="Number of diffusion steps.")
+    parser.add_argument("--recombine", type=str, default="exact",
+                        choices=["exact", "bucketed"],
+                        help="Recombination FPS: exact global (reference) or per-patch bucketed (~30x faster).")
     args, remaining = parser.parse_known_args()
 
     cfg = model_loader.load_opt_yaml(args.model_path)
@@ -65,6 +68,7 @@ def main():
         patch_size=cfg.data.npoints,
         seed_k=cfg.k,
         steps=cfg.steps,
+        recombine_mode=cfg.recombine,
         save_intermediate=cfg.save_intermediate,
     )
     denoised = denoised * scale + center

@@ -44,6 +44,9 @@ def parse_args():
     parser.add_argument("--distribution_type", default="none")
     parser.add_argument("--resolutions", type=str, default="10000_poisson,50000_poisson")
     parser.add_argument("--noise_levels", type=str, default="0.01,0.02,0.03")
+    parser.add_argument("--recombine", type=str, default="exact",
+                        choices=["exact", "bucketed"],
+                        help="Recombination FPS: exact global (reference) or per-patch bucketed (~30x faster).")
     args, remaining = parser.parse_known_args()
 
     cfg = model_loader.load_opt_yaml(args.model_path)
@@ -99,6 +102,7 @@ def main():
                 denoised, _ = patch_based_denoise(
                     bridge, params, item["pcl_noisy"],
                     patch_size=cfg.data.npoints, seed_k=cfg.k, steps=cfg.steps,
+                    recombine_mode=cfg.recombine,
                 )
                 # denormalize back to the original frame
                 denoised = denoised * item["scale"] + item["center"]

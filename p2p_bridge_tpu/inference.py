@@ -168,12 +168,15 @@ def patch_based_denoise(
     steps: int = 5,
     clip_denoise: bool = False,
     save_intermediate: bool = False,
+    recombine_mode: str = "exact",
 ) -> Tuple[np.ndarray, Optional[np.ndarray]]:
     """Denoise one normalized object cloud.
 
     Args:
       bridge: P2PBridge; params: backbone params (EMA pytree for use_ema).
       pcl_noisy: [N, 3] (already unit-sphere normalized).
+      recombine_mode: "exact" (reference global FPS) or "bucketed"
+        (per-patch quota, ~30x faster; CD impact measured in BASELINE.md).
     Returns:
       (denoised [N, 3], steps [T, N, 3] or None)
     """
@@ -181,5 +184,6 @@ def patch_based_denoise(
         bridge, params, np.asarray(pcl_noisy, np.float32)[None],
         patch_size=patch_size, seed_k=seed_k, steps=steps,
         clip_denoise=clip_denoise, save_intermediate=save_intermediate,
+        recombine_mode=recombine_mode,
     )
     return denoised[0], (None if chain is None else chain[0])

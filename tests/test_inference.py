@@ -37,6 +37,36 @@ def test_patch_based_denoise_intermediate_steps(rng):
     assert steps.shape == (3, 512, 3)
 
 
+def test_patch_based_denoise_bucketed_recombine(rng):
+    """recombine_mode="bucketed" (per-patch FPS quota, the fast path used
+    by bench.py): output points still come from the denoised patch soup,
+    and the cloud coverage matches the exact global-FPS path closely."""
+    pcl = rng.normal(size=(1000, 3)).astype(np.float32)
+    pcl /= np.linalg.norm(pcl, axis=1).max()
+    out_b, _ = patch_based_denoise(
+        IdentityBridge(), None, pcl, patch_size=128, seed_k=3, steps=2,
+        recombine_mode="bucketed",
+    )
+    out_e, _ = patch_based_denoise(
+        IdentityBridge(), None, pcl, patch_size=128, seed_k=3, steps=2,
+        recombine_mode="exact",
+    )
+    assert out_b.shape == (1000, 3)
+    from scipy.spatial import cKDTree
+
+    # subset-of-input property holds for either mode (identity model)
+    d, _ = cKDTree(pcl).query(out_b, k=1)
+    assert d.max() < 1e-5
+    # coverage: the bucketed picks leave no hole much larger than exact
+    # global FPS does. (Mean coverage is NOT compared: with an identity
+    # model, overlapping patches emit byte-identical points that global
+    # FPS dedups and per-patch FPS cannot — an artifact of this toy
+    # setup; the real-model CD impact is measured in BASELINE.md.)
+    d_cov_b, _ = cKDTree(out_b).query(pcl, k=1)
+    d_cov_e, _ = cKDTree(out_e).query(pcl, k=1)
+    assert d_cov_b.max() < 3.0 * max(d_cov_e.max(), 1e-6)
+
+
 def test_patch_based_denoise_batch_multi_object(rng):
     """The multi-object path (bench protocol): per-object programs plus
     one batched recombination; each object independently recovered."""
