@@ -10,6 +10,7 @@ torch's channels-first GroupNorm does.
 from __future__ import annotations
 
 import math
+import os
 from typing import Optional
 
 import jax
@@ -305,6 +306,25 @@ class ZPackConv3d(nn.Module):
     features: int
     dtype: type = jnp.float32
     force_pack: Optional[bool] = None  # tests: exercise packing off-TPU
+    mode: Optional[str] = None  # None=policy; "std" | "zpack" | "kstack"
+
+    def _pick_mode(self, cin: int, cout: int, Z: int) -> str:
+        if self.force_pack is not None:  # legacy test hook
+            return "zpack" if self.force_pack else "std"
+        if self.mode is not None:
+            return self.mode
+        env = os.environ.get("P2PB_CONV3D", "")
+        if env:
+            return env
+        if jax.devices()[0].platform != "tpu":
+            return "std"
+        # Measured policy (BASELINE.md roofline, B=73 r=32 v5e).
+        if 128 % cout == 0 and 128 // cout >= 2 and Z % (128 // cout) == 0:
+            # kstack fills all 128 output lanes at (P+2)/3-of-P structural
+            # overhead: 2x at P=4 (35->32: 22 -> ~100 TF/s effective),
+            # 1.33x at P=2 (64->64: beats dense zpack's 2x).
+            return "kstack"
+        return "std"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -318,40 +338,71 @@ class ZPackConv3d(nn.Module):
         x, kernel, bias = nn.dtypes.promote_dtype(
             x, kernel, bias, dtype=self.dtype
         )
-        Z = x.shape[3]
-        # Measured policy (BASELINE.md roofline, B=73 r=32 v5e): packing
-        # pays only for 64->64 convs (47-63 -> 140-162 TF/s; the 2x FLOP
-        # cost is beaten by the full-lane rate). 32->32 at P=4 LOSES
-        # (4x FLOPs at 134 TF/s < 1x at 57.5), and ragged channel counts
-        # (e.g. 35) pay a 2ms tiled-layout reshape. P=2, 64-aligned only.
-        P = 2 if (cin == 64 and cout == 64 and Z % 2 == 0 and Z >= 4) else 1
-        use_pack = (
-            (jax.devices()[0].platform == "tpu"
-             if self.force_pack is None else self.force_pack)
-            and P >= 2
-        )
-        if not use_pack:
+        B, X, Y, Z = x.shape[0], x.shape[1], x.shape[2], x.shape[3]
+        mode = self._pick_mode(cin, cout, Z)
+
+        if mode == "zpack" and not (Z % 2 == 0 and Z >= 4):
+            mode = "std"
+        if mode == "kstack" and not (
+            128 % cout == 0 and 128 // cout >= 2 and Z % (128 // cout) == 0
+        ):
+            mode = "std"
+
+        if mode == "std":
             y = jax.lax.conv_general_dilated(
                 x, kernel, (1, 1, 1), "SAME",
                 dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
             )
             return y + bias
-        # pack: out z-slot j, tap dz reads z_in = j+dz-1 = t*P + i
-        # -> packed tap t+1, input slot i
-        big = jnp.zeros((3, 3, 3, P * cin, P * cout), kernel.dtype)
+
+        if mode == "zpack":
+            # Dense z-pack: [B,X,Y,Z/P,P*Cin] conv with a structurally
+            # zero-padded [3,3,3,P*Cin,P*Cout] kernel. P x the FLOPs at
+            # the full-lane MXU rate. out z-slot j, tap dz reads
+            # z_in = j+dz-1 = t*P + i -> packed tap t+1, input slot i.
+            P = 2
+            big = jnp.zeros((3, 3, 3, P * cin, P * cout), kernel.dtype)
+            for j in range(P):
+                for dz in range(3):
+                    zoff = j + dz - 1
+                    t, i = zoff // P, zoff % P
+                    big = big.at[
+                        :, :, t + 1, i * cin:(i + 1) * cin,
+                        j * cout:(j + 1) * cout,
+                    ].set(kernel[:, :, dz])
+            xp = x.reshape(B, X, Y, Z // P, P * cin)
+            y = jax.lax.conv_general_dilated(
+                xp, big, (1, 1, 1), "SAME",
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            )
+            y = y.reshape(B, X, Y, Z, cout)
+            return y + bias
+
+        # kstack: stack the P+2 overlapping z-slabs of each P-sized output
+        # group into the CONTRACTION dim instead of zero-padding both dims.
+        # Output column block j in 0..P-1 (abs z = zg*P + j) reads slab
+        # rows w = j + dz, dz in 0..2 -> block-sparse [(P+2)*Cin, P*Cout]
+        # with 3/(P+2) density: FLOP overhead (P+2)/3 vs the dense
+        # zpack's P. All 128 output lanes filled for P*Cout = 128.
+        P = 128 // cout
+        Zg = Z // P
+        xpad = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)))
+        slabs = [
+            xpad[:, :, :, w:w + (Zg - 1) * P + 1:P, :]  # [B,X+2,Y+2,Zg,Cin]
+            for w in range(P + 2)
+        ]
+        stacked = jnp.concatenate(slabs, axis=-1)  # [B,X+2,Y+2,Zg,(P+2)Cin]
+        big = jnp.zeros((3, 3, 1, (P + 2) * cin, P * cout), kernel.dtype)
         for j in range(P):
             for dz in range(3):
-                zoff = j + dz - 1
-                t, i = zoff // P, zoff % P
+                w = j + dz
                 big = big.at[
-                    :, :, t + 1, i * cin:(i + 1) * cin,
+                    :, :, 0, w * cin:(w + 1) * cin,
                     j * cout:(j + 1) * cout,
                 ].set(kernel[:, :, dz])
-        B, X, Y = x.shape[0], x.shape[1], x.shape[2]
-        xp = x.reshape(B, X, Y, Z // P, P * cin)
         y = jax.lax.conv_general_dilated(
-            xp, big, (1, 1, 1), "SAME",
+            stacked, big, (1, 1, 1), "VALID",
             dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-        )
+        )  # [B, X, Y, Zg, P*Cout]
         y = y.reshape(B, X, Y, Z, cout)
         return y + bias

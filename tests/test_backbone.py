@@ -193,3 +193,42 @@ def test_zpack_conv_matches_standard():
             ZPackConv3d(cout, force_pack=True).apply(params, x)
         )
         np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
+def test_kstack_conv_matches_standard():
+    """ZPackConv3d kstack path (overlapping z-slabs stacked into the
+    contraction dim, all 128 output lanes filled) is the same math as the
+    standard conv3d: P=4 (Cout=32, incl. ragged Cin=35) and P=2
+    (Cout=64), plus odd grid sizes exercising the SAME-padding edges."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from p2p_bridge_tpu.models.modules import ZPackConv3d
+
+    rng = np.random.default_rng(12)
+    for cin, cout, Z in ((35, 32, 8), (32, 32, 16), (64, 64, 8)):
+        x = jnp.asarray(rng.normal(size=(2, 5, 7, Z, cin)), jnp.float32)
+        std = ZPackConv3d(cout, mode="std")
+        params = std.init(jax.random.key(0), x)
+        want = np.asarray(std.apply(params, x))
+        got = np.asarray(ZPackConv3d(cout, mode="kstack").apply(params, x))
+        np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
+def test_kstack_conv_falls_back_when_unpackable():
+    """Z not divisible by P (or Cout not a divisor of 128) silently uses
+    the standard conv — same numbers, no crash."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from p2p_bridge_tpu.models.modules import ZPackConv3d
+
+    rng = np.random.default_rng(13)
+    x = jnp.asarray(rng.normal(size=(1, 4, 4, 6, 16)), jnp.float32)  # Z=6, P=8
+    std = ZPackConv3d(16, mode="std")
+    params = std.init(jax.random.key(0), x)
+    want = np.asarray(std.apply(params, x))
+    got = np.asarray(ZPackConv3d(16, mode="kstack").apply(params, x))
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
