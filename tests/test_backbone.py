@@ -216,6 +216,36 @@ def test_kstack_conv_matches_standard():
         np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
 
 
+def test_kstack_conv_gradients_match_standard():
+    """kstack is pure pad/slice/concat/conv, so autodiff through it must
+    reproduce the standard conv's parameter and input gradients (the
+    mode sits on the training path when the TPU policy picks it)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from p2p_bridge_tpu.models.modules import ZPackConv3d
+
+    rng = np.random.default_rng(14)
+    x = jnp.asarray(rng.normal(size=(2, 4, 4, 8, 35)), jnp.float32)
+    std = ZPackConv3d(32, mode="std")
+    params = std.init(jax.random.key(0), x)
+
+    def loss(mode):
+        def f(p, xx):
+            y = ZPackConv3d(32, mode=mode).apply(p, xx)
+            return jnp.sum(y * y)
+        return jax.grad(f, argnums=(0, 1))(params, x)
+
+    g_std, gx_std = loss("std")
+    g_k, gx_k = loss("kstack")
+    np.testing.assert_allclose(np.asarray(gx_k), np.asarray(gx_std),
+                               atol=1e-3, rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(g_std), jax.tree.leaves(g_k)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=1e-3, rtol=1e-4)
+
+
 def test_kstack_conv_falls_back_when_unpackable():
     """Z not divisible by P (or Cout not a divisor of 128) silently uses
     the standard conv — same numbers, no crash."""
