@@ -63,24 +63,57 @@ class ExperimentTracker:
         """wandb.watch analogue (reference train.py:94-98): per-leaf
         histograms of a param/grad pytree into histograms.jsonl (and
         wandb.Histogram when live). Call every watch-interval steps with
-        params and/or grads."""
+        params and/or grads.
+
+        Stats are computed ON DEVICE and shipped as one packed
+        [L, 4+bins] buffer: the previous per-leaf np.asarray did one
+        device->host transfer per leaf — ~500 round-trips through a
+        ~160 ms-latency tunnel per watch step, and the 100k quality run
+        deadlocked inside one of them (futex-parked main thread at step
+        32000). One small buffer makes the watch step O(1) transfers."""
         import jax
         import numpy as np
 
+        paths, leaves = zip(
+            *[(p, l) for p, l in jax.tree_util.tree_flatten_with_path(tree)[0]
+              if np.prod(l.shape) > 0]
+        )
+        names = [
+            prefix + "/" + "/".join(
+                str(getattr(k, "key", getattr(k, "idx", k))) for k in p
+            ) for p in paths
+        ]
+
+        cache_key = (prefix, len(names), bins)
+        if not hasattr(self, "_hist_fns"):
+            self._hist_fns = {}
+        if cache_key not in self._hist_fns:
+            import jax.numpy as jnp
+
+            def packed_stats(ls):
+                rows = []
+                for x in ls:
+                    x = x.ravel().astype(jnp.float32)
+                    mn, mx = jnp.min(x), jnp.max(x)
+                    hi = jnp.where(mx > mn, mx, mn + 1.0)  # np.histogram's
+                    # degenerate-range behavior (all-equal leaf)
+                    counts, _ = jnp.histogram(x, bins=bins, range=(mn, hi))
+                    rows.append(jnp.concatenate([
+                        jnp.stack([mn, mx, jnp.mean(x), jnp.std(x)]),
+                        counts.astype(jnp.float32),
+                    ]))
+                return jnp.stack(rows)  # [L, 4 + bins]
+
+            self._hist_fns[cache_key] = jax.jit(packed_stats)
+
+        packed = np.asarray(self._hist_fns[cache_key](list(leaves)))
         recs = {}
-        for path_t, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
-            name = prefix + "/" + "/".join(
-                str(getattr(k, "key", getattr(k, "idx", k))) for k in path_t
-            )
-            x = np.asarray(leaf).ravel()
-            if x.size == 0:
-                continue
-            counts, edges = np.histogram(x, bins=bins)
+        for name, row in zip(names, packed):
+            mn, mx, mean, std = (float(v) for v in row[:4])
             recs[name] = {
-                "min": float(x.min()), "max": float(x.max()),
-                "mean": float(x.mean()), "std": float(x.std()),
-                "counts": counts.tolist(),
-                "edges": [float(edges[0]), float(edges[-1])],
+                "min": mn, "max": mx, "mean": mean, "std": std,
+                "counts": [int(c) for c in row[4:]],
+                "edges": [mn, mx if mx > mn else mn + 1.0],
             }
         hpath = os.path.join(self.output_dir, "histograms.jsonl")
         with open(hpath, "a") as f:

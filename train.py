@@ -138,7 +138,30 @@ def train(cfg) -> None:
         batch = {k: v for k, v in db.items() if v is not None}
         batch = shard_batch(batch, mesh)
 
-        state, metrics = step_fn(state, root_rng, batch)
+        # wandb.watch analogue (reference train.py:94-98): on watch
+        # steps with training.watch_gradients, a separately-compiled
+        # step variant that ALSO returns the grad pytree replaces the
+        # regular step (same update semantics — state is donated, so the
+        # variant must be the step, not run beside it).
+        watch_interval = cfg.training.get("watch_interval", 2000)
+        is_watch_step = bool(
+            tracker and watch_interval and (step + 1) % watch_interval == 0
+        )
+        if is_watch_step and cfg.training.get("watch_gradients", False):
+            if watch_step_fn is None:
+                watch_step_fn = jit_train_step(
+                    make_train_step(
+                        bridge, optimizer, grad_clip=grad_clip,
+                        accumulation_steps=accum, ema_decay=ema_decay,
+                        align_cfg=align_cfg, return_grads=True,
+                    ),
+                    mesh,
+                )
+            active_step_fn = watch_step_fn
+        else:
+            active_step_fn = step_fn
+
+        state, metrics = active_step_fn(state, root_rng, batch)
 
         if step % log_interval == 0 and is_main:
             loss = float(metrics["loss"])
@@ -162,28 +185,10 @@ def train(cfg) -> None:
                     step,
                 )
 
-        # wandb.watch analogue (reference train.py:94-98): parameter
-        # histograms every watch_interval steps; with
-        # training.watch_gradients, gradient histograms too (a
-        # separately-compiled step variant returns the grad pytree, so
-        # the tensors ride the device->host link only on watch steps).
-        watch_interval = cfg.training.get("watch_interval", 2000)
-        if tracker and watch_interval and (step + 1) % watch_interval == 0:
+        if is_watch_step:
             tracker.log_histograms(state.params, step + 1, prefix="param")
-            if cfg.training.get("watch_gradients", False):
-                if watch_step_fn is None:
-                    watch_step_fn = jit_train_step(
-                        make_train_step(
-                            bridge, optimizer, grad_clip=grad_clip,
-                            accumulation_steps=accum, ema_decay=ema_decay,
-                            align_cfg=align_cfg, return_grads=True,
-                        ),
-                        mesh,
-                    )
-                _, watch_metrics = watch_step_fn(state, root_rng, batch)
-                tracker.log_histograms(
-                    watch_metrics["grads"], step + 1, prefix="grad"
-                )
+            if "grads" in metrics:
+                tracker.log_histograms(metrics["grads"], step + 1, prefix="grad")
 
         if (step + 1) % save_interval == 0:
             # ALL processes participate: with multi-host global arrays
