@@ -318,12 +318,17 @@ class ZPackConv3d(nn.Module):
             return env
         if jax.devices()[0].platform != "tpu":
             return "std"
-        # Measured policy (BASELINE.md roofline, B=73 r=32 v5e).
-        if 128 % cout == 0 and 128 // cout >= 2 and Z % (128 // cout) == 0:
-            # kstack fills all 128 output lanes at (P+2)/3-of-P structural
-            # overhead: 2x at P=4 (35->32: 22 -> ~100 TF/s effective),
-            # 1.33x at P=2 (64->64: beats dense zpack's 2x).
-            return "kstack"
+        # Measured policy (BASELINE.md roofline, B=73 r=32 v5e): zpack
+        # pays only for 64->64 convs (47-63 -> 140-162 TF/s; the 2x FLOP
+        # cost is beaten by the full-lane rate). kstack reaches higher
+        # conv rates (104-131 TF/s at (P+2)/3 FLOPs) but building the
+        # (P+2)/P-wide slab-stacked input costs strided gathers + pads +
+        # concats (~11 ms/fwd at fp3, ~4.4 ms at sa0) that exceed the MXU
+        # win: whole-forward 99.2 ms kstack-default vs 60.3 ms this
+        # policy. kstack stays opt-in (mode="kstack" / P2PB_CONV3D) until
+        # a Pallas conv can form the slabs in VMEM.
+        if cin == 64 and cout == 64 and Z % 2 == 0 and Z >= 4:
+            return "zpack"
         return "std"
 
     @nn.compact
