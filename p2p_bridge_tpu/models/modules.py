@@ -306,7 +306,7 @@ class ZPackConv3d(nn.Module):
     features: int
     dtype: type = jnp.float32
     force_pack: Optional[bool] = None  # tests: exercise packing off-TPU
-    mode: Optional[str] = None  # None=policy; "std" | "zpack" | "kstack"
+    mode: Optional[str] = None  # None=policy; "std"|"zpack"|"kstack"|"pallas"
 
     def _pick_mode(self, cin: int, cout: int, Z: int) -> str:
         if self.force_pack is not None:  # legacy test hook
@@ -351,6 +351,19 @@ class ZPackConv3d(nn.Module):
         if mode == "kstack" and not (
             128 % cout == 0 and 128 // cout >= 2 and Z % (128 // cout) == 0
         ):
+            mode = "std"
+        if mode == "pallas":
+            from ..ops.pallas.conv3d_kernel import (
+                kstack_conv3d_pallas, supports,
+            )
+            if (
+                x.shape[1] == x.shape[2]
+                and supports(cin, cout, x.shape[1], Z)
+            ):
+                return kstack_conv3d_pallas(
+                    x, kernel, bias,
+                    interpret=jax.devices()[0].platform != "tpu",
+                )
             mode = "std"
 
         if mode == "std":

@@ -1,0 +1,208 @@
+"""Pallas TPU kernel: 3x3x3 SAME voxel conv via in-VMEM k-stacking.
+
+TPU-native replacement for the voxel convolutions of PVConv
+(reference: models/pvcnn.py:260-276 ``nn.Conv3d`` inside PVConv; the
+CUDA path just calls cuDNN). The reference's channel counts at the hot
+r=32 stages (35->32, 32->32, 64->64) underfill the v5e's 128-wide MXU
+lanes: XLA's native conv3d sustains only ~21-63 TF/s of 197.
+
+The kstack formulation fixes lane occupancy: pack P = 128/Cout output
+z-slots into the lane dim and stack the P+2 overlapping z-slabs each
+group reads into the CONTRACTION dim, turning the conv into nine
+full-width matmuls (one per (dx, dy) tap)
+
+    out[x, y, zg, j*Cout:(j+1)*Cout]
+      = sum_{dx,dy} stacked[x+dx-1, y+dy-1, zg] @ W[dx, dy]
+
+with ``stacked[..., w*Cin:(w+1)*Cin] = x[..., zg*P + w - 1, :]`` and the
+block-banded ``W[dx, dy][w*Cin:, j*Cout:] = kernel[dx, dy, w - j]`` for
+``w - j`` in 0..2. FLOP overhead is (P+2)/3 at the full-lane MXU rate.
+
+Done in XLA (ZPackConv3d mode="kstack") the slab stacking is a measured
+NET LOSS: building the (P+2)/P-wide stacked tensor costs strided HBM
+gathers + pads + concats that exceed the MXU win (BASELINE.md roofline:
+whole forward 99.2 ms vs 60.3 ms). Here the stacking happens in VMEM:
+
+  * grid = (B,): one point-cloud grid per step, everything VMEM-resident;
+  * the zg-shifted slab chunks are lane-concats of the (free) reshape
+    ``[.., Z, Cin] -> [.., Zg, P*Cin]`` — no HBM traffic;
+  * SAME spatial padding is a zeroed 4D scratch written only at
+    major-dim offsets [1:R+1, 1:R+1] (lane/sublane offsets stay 0 —
+    non-128-aligned lane stores are a TPU-worker crash, see
+    ops/pallas/voxelize_kernel.py);
+  * each tap loads ``scratch[dx:dx+R, dy:dy+R]`` (major-dim slices only)
+    and rides the MXU as a single [R*R*Zg, K] x [K, 128] matmul.
+
+Gradients fall back to XLA's native conv transposes (measured faster
+than any hand-written VJP — BASELINE.md), via jax.custom_vjp.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_LANES = 128
+
+
+def supports(cin: int, cout: int, R: int, Z: int) -> bool:
+    """Shapes the kernel handles: cubic-ish grids whose output channels
+    divide the 128 lanes with room to pack (P >= 2) and whose z extent
+    splits into P-sized groups."""
+    if _LANES % cout != 0:
+        return False
+    P = _LANES // cout
+    if P < 2 or Z % P != 0 or Z // P < 2:
+        return False
+    if cin > 2 * cout * P:  # cpad would exceed the packed lane budget
+        return False
+    return R >= 4
+
+
+def _kernel(xg_ref, k_ref, b_ref, out_ref, scratch_ref, *,
+            R, Zg, P, cpad, K, out_dtype):
+    """One cloud per grid step.
+
+    xg_ref:  [1, R, R, Zg, P*cpad] — input grid, z-groups in lanes.
+    k_ref:   [9, K, 128] — block-banded kstack weights, K = (P+2)*cpad.
+    b_ref:   [1, 128] f32 — bias tiled over the P output slots.
+    out_ref: [1, R, R, Zg, 128].
+    scratch: [R+2, R+2, Zg, K] — zero-bordered slab-stacked input.
+    """
+    b = pl.program_id(0)
+
+    @pl.when(b == 0)
+    def _zero_border():
+        # Interior is fully overwritten every step; borders must be the
+        # SAME-padding zeros. One full clear on the first step keeps
+        # them zero for the whole grid sweep.
+        scratch_ref[...] = jnp.zeros_like(scratch_ref)
+
+    xv = xg_ref[0]  # [R, R, Zg, P*cpad]
+    zeros = jnp.zeros((R, R, 1, cpad), xv.dtype)
+    # slab w=0 reads z = zg*P - 1: the PREVIOUS group's last slot,
+    # zero-filled at zg=0 (SAME padding). Sublane-axis shift of a value.
+    lo = jnp.concatenate(
+        [zeros, xv[:, :, :-1, (P - 1) * cpad:]], axis=2
+    )
+    # slab w=P+1 reads z = (zg+1)*P: the NEXT group's first slot.
+    hi = jnp.concatenate([xv[:, :, 1:, :cpad], zeros], axis=2)
+    stacked = jnp.concatenate([lo, xv, hi], axis=-1)  # [R, R, Zg, K]
+    scratch_ref[1:R + 1, 1:R + 1] = stacked
+
+    acc = jnp.zeros((R * R * Zg, _LANES), jnp.float32)
+    for t in range(9):
+        dx, dy = t // 3, t % 3
+        lhs = scratch_ref[dx:dx + R, dy:dy + R]  # [R, R, Zg, K]
+        acc = acc + jax.lax.dot_general(
+            lhs.reshape(R * R * Zg, K), k_ref[t],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    acc = acc + b_ref[0]
+    out_ref[0] = acc.reshape(R, R, Zg, _LANES).astype(out_dtype)
+
+
+def _pack_kernel(kernel: jnp.ndarray, P: int, cpad: int,
+                 dtype) -> jnp.ndarray:
+    """[3, 3, 3, Cin, Cout] -> [9, (P+2)*cpad, 128] block-banded kstack
+    weights: rows slab w, cols output slot j, nonzero iff dz = w - j is
+    a valid tap (0..2)."""
+    cin, cout = kernel.shape[3], kernel.shape[4]
+    K = (P + 2) * cpad
+    big = jnp.zeros((3, 3, K, _LANES), dtype)
+    for j in range(P):
+        for dz in range(3):
+            w = j + dz
+            big = big.at[
+                :, :, w * cpad:w * cpad + cin,
+                j * cout:(j + 1) * cout,
+            ].set(kernel[:, :, dz].astype(dtype))
+    return big.reshape(9, K, _LANES)
+
+
+@partial(jax.jit, static_argnums=(3,))
+def _conv_fwd(x, kernel, bias, interpret):
+    B, R, _, Z, cin = x.shape
+    cout = kernel.shape[-1]
+    P = _LANES // cout
+    Zg = Z // P
+    # cpad: keep the stacked contraction dim a multiple of the 128 lanes
+    # the MXU consumes per pass (zero columns would be paid anyway).
+    cpad = cin
+    while ((P + 2) * cpad) % _LANES != 0:
+        cpad += 1
+    K = (P + 2) * cpad
+
+    cdt = jnp.bfloat16 if x.dtype == jnp.bfloat16 else x.dtype
+    if cpad != cin:
+        x = jnp.pad(x, ((0, 0),) * 4 + ((0, cpad - cin),))
+    # free, contiguous: fold z-groups into lanes
+    xg = x.reshape(B, R, R, Zg, P * cpad).astype(cdt)
+    kw = _pack_kernel(kernel, P, cpad, cdt)
+    bp = jnp.tile(bias.astype(jnp.float32), P).reshape(1, _LANES)
+
+    out = pl.pallas_call(
+        partial(_kernel, R=R, Zg=Zg, P=P, cpad=cpad, K=K,
+                out_dtype=x.dtype),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, R, R, Zg, P * cpad),
+                         lambda b: (b, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, K, _LANES), lambda b: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _LANES), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, R, R, Zg, _LANES),
+                               lambda b: (b, 0, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, R, R, Zg, _LANES), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((R + 2, R + 2, Zg, K), cdt),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2**20,
+        ),
+        interpret=interpret,
+    )(xg, kw, bp)
+    return out.reshape(B, R, R, Z, cout)
+
+
+def _ref_conv(x, kernel, bias):
+    y = jax.lax.conv_general_dilated(
+        x, kernel, (1, 1, 1), "SAME",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    )
+    return y + bias
+
+
+@lru_cache(maxsize=None)
+def _make_conv(interpret: bool):
+    @jax.custom_vjp
+    def conv(x, kernel, bias):
+        return _conv_fwd(x, kernel, bias, interpret)
+
+    def fwd(x, kernel, bias):
+        return conv(x, kernel, bias), (x, kernel, bias)
+
+    def bwd(res, g):
+        return jax.vjp(_ref_conv, *res)[1](g)
+
+    conv.defvjp(fwd, bwd)
+    return conv
+
+
+def kstack_conv3d_pallas(x, kernel, bias, interpret=False):
+    """3x3x3 SAME conv, [B, R, R, Z, Cin] x [3, 3, 3, Cin, Cout] ->
+    [B, R, R, Z, Cout], k-stacked onto the MXU in VMEM.
+
+    Check :func:`supports` first; shapes outside it are the caller's
+    bug. Backward reuses XLA's native conv gradients (hand-written
+    conv VJPs measured slower — BASELINE.md)."""
+    return _make_conv(bool(interpret))(x, kernel, bias)

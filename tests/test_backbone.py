@@ -262,3 +262,59 @@ def test_kstack_conv_falls_back_when_unpackable():
     want = np.asarray(std.apply(params, x))
     got = np.asarray(ZPackConv3d(16, mode="kstack").apply(params, x))
     np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
+def test_pallas_conv_matches_standard():
+    """ZPackConv3d mode="pallas" (in-VMEM k-stacked Pallas conv,
+    interpret mode off-TPU) reproduces the standard conv3d for the hot
+    shapes: ragged 35->32 (P=4), 32->32, and 64->64 (P=2), plus
+    gradients via the custom-VJP fallback to XLA's conv transposes."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from p2p_bridge_tpu.models.modules import ZPackConv3d
+
+    rng = np.random.default_rng(15)
+    for cin, cout, R, Z in ((35, 32, 8, 8), (32, 32, 6, 16), (64, 64, 8, 8)):
+        x = jnp.asarray(rng.normal(size=(2, R, R, Z, cin)), jnp.float32)
+        std = ZPackConv3d(cout, mode="std")
+        params = std.init(jax.random.key(0), x)
+        want = np.asarray(std.apply(params, x))
+        got = np.asarray(ZPackConv3d(cout, mode="pallas").apply(params, x))
+        np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+    x = jnp.asarray(rng.normal(size=(1, 4, 4, 8, 35)), jnp.float32)
+    std = ZPackConv3d(32, mode="std")
+    params = std.init(jax.random.key(1), x)
+
+    def grads(mode):
+        def f(p, xx):
+            y = ZPackConv3d(32, mode=mode).apply(p, xx)
+            return jnp.sum(jnp.sin(y))
+        return jax.grad(f, argnums=(0, 1))(params, x)
+
+    for a, b in zip(jax.tree.leaves(grads("std")), jax.tree.leaves(grads("pallas"))):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=1e-4, rtol=1e-4)
+
+
+def test_pallas_conv_falls_back_when_unsupported():
+    """Non-square XY plane (and any supports()=False shape) silently
+    routes mode="pallas" to the standard conv."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from p2p_bridge_tpu.models.modules import ZPackConv3d
+    from p2p_bridge_tpu.ops.pallas.conv3d_kernel import supports
+
+    assert not supports(16, 48, 8, 8)   # 128 % 48 != 0
+    assert not supports(16, 16, 8, 6)   # Z % P != 0
+    rng = np.random.default_rng(16)
+    x = jnp.asarray(rng.normal(size=(1, 4, 6, 8, 16)), jnp.float32)
+    std = ZPackConv3d(32, mode="std")
+    params = std.init(jax.random.key(0), x)
+    want = np.asarray(std.apply(params, x))
+    got = np.asarray(ZPackConv3d(32, mode="pallas").apply(params, x))
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
