@@ -1,0 +1,65 @@
+#!/usr/bin/env python
+"""A/B the voxel-conv modes on the real TPU (scan harness, CLAUDE.md).
+
+Usage: python scripts/bench_conv3d.py [B]
+Prints ms/iter for each flagship conv shape x mode; the numbers feed the
+ZPackConv3d policy (models/modules.py) and the BASELINE.md roofline.
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from p2p_bridge_tpu.models.modules import ZPackConv3d
+
+B = int(sys.argv[1]) if len(sys.argv) > 1 else 73
+K = 10
+SHAPES = [  # (cin, cout, R, Z) from the PVDS_PUNet census
+    (35, 32, 32, 32),   # sa0 vconv1
+    (32, 32, 32, 32),   # sa0 vconv2
+    (64, 64, 32, 32),   # fp3 vconv1/vconv2
+    (64, 64, 16, 16),   # sa1
+    (128, 64, 16, 16),  # sa1
+]
+MODES = ["std", "zpack", "pallas"]
+
+
+def timed(fn, x):
+    jfn = jax.jit(fn)
+    np.asarray(jfn(x))  # warm compile + first run
+    t0 = time.time()
+    np.asarray(jfn(x))
+    wall = time.time() - t0
+    return (wall - 0.16) / K * 1000.0
+
+
+for cin, cout, R, Z in SHAPES:
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(B, R, R, Z, cin)),
+        jnp.bfloat16,
+    )
+    row = [f"cin={cin:3d} cout={cout:3d} r={R}"]
+    for mode in MODES:
+        m = ZPackConv3d(cout, dtype=jnp.bfloat16, mode=mode)
+        params = m.init(jax.random.key(0), x[:1])
+
+        def step(c, i, m=m, params=params):
+            y = m.apply(params, c + i.astype(c.dtype) * 1e-6)
+            return c, jnp.mean(y, axis=(1, 2))[:, None, None, :]
+
+        def scanned(xx, m=m, params=params):
+            _, ys = jax.lax.scan(step, xx, jnp.arange(K))
+            return ys
+
+        try:
+            ms = timed(scanned, x)
+            row.append(f"{mode}={ms:6.2f}ms")
+        except Exception as e:  # noqa: BLE001
+            row.append(f"{mode}=FAIL({type(e).__name__})")
+    print("  ".join(row), flush=True)

@@ -15,6 +15,9 @@ DEADLINE=${4:-0}
 LOG=${QUALITY_SEG_LOG:-/tmp/quality_segments.log}
 
 while true; do
+  # Cooperative pause: `touch /tmp/qseg_pause` to keep the TPU lease free
+  # between segments (e.g. for a quick kernel measurement); rm to resume.
+  while [ -e /tmp/qseg_pause ]; do sleep 10; done
   last=$(ls -d "$RUN_DIR"/step_* 2>/dev/null | sed 's/.*step_//' | sort -n | tail -1)
   if [ -z "$last" ]; then echo "no checkpoint under $RUN_DIR" >&2; exit 1; fi
   if [ "$last" -ge "$TARGET" ]; then echo "done at step $last"; break; fi
