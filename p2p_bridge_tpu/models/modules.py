@@ -363,6 +363,7 @@ class ZPackConv3d(nn.Module):
                 return kstack_conv3d_pallas(
                     x, kernel, bias,
                     interpret=jax.devices()[0].platform != "tpu",
+                    fold=os.environ.get("P2PB_CONV3D_FOLD", "outside"),
                 )
             mode = "std"
 

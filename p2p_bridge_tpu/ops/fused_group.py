@@ -28,10 +28,13 @@ from .grouping import group
 
 @partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def _fused_tpu(centers, points, aug, radius, num_neighbors):
+    import os
+
     from .pallas.neighborhood_kernel import ball_query_group_pallas
 
+    row_major = os.environ.get("P2PB_BQG_ROWS", "0") == "1"
     return ball_query_group_pallas(centers, points, aug, radius,
-                                   num_neighbors)
+                                   num_neighbors, row_major=row_major)
 
 
 def _fused_tpu_fwd(centers, points, aug, radius, num_neighbors):

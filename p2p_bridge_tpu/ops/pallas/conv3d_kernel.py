@@ -64,13 +64,16 @@ def supports(cin: int, cout: int, R: int, Z: int) -> bool:
 
 
 def _kernel(xg_ref, k_ref, b_ref, out_ref, scratch_ref, *,
-            R, Zg, P, cpad, K, out_dtype):
+            R, Z, Zg, P, cin, cpad, K, cout, fold_inside, out_dtype):
     """One cloud per grid step.
 
-    xg_ref:  [1, R, R, Zg, P*cpad] — input grid, z-groups in lanes.
+    xg_ref:  [1, R, R, Zg, P*cpad] — input grid, z-groups in lanes —
+             or [1, R, R, Z, cin] raw when ``fold_inside`` (the z-group
+             fold and the cin->cpad zero-pad then happen in VMEM,
+             saving the HBM relayout copy the outside reshape costs).
     k_ref:   [9, K, 128] — block-banded kstack weights, K = (P+2)*cpad.
     b_ref:   [1, 128] f32 — bias tiled over the P output slots.
-    out_ref: [1, R, R, Zg, 128].
+    out_ref: [1, R, R, Zg, 128], or [1, R, R, Z, cout] when folding.
     scratch: [R+2, R+2, Zg, K] — zero-bordered slab-stacked input.
     """
     b = pl.program_id(0)
@@ -82,16 +85,31 @@ def _kernel(xg_ref, k_ref, b_ref, out_ref, scratch_ref, *,
         # them zero for the whole grid sweep.
         scratch_ref[...] = jnp.zeros_like(scratch_ref)
 
-    xv = xg_ref[0]  # [R, R, Zg, P*cpad]
-    zeros = jnp.zeros((R, R, 1, cpad), xv.dtype)
+    if fold_inside:
+        xv = xg_ref[0].reshape(R, R, Zg, P * cin)
+        cw = cin
+    else:
+        xv = xg_ref[0]  # [R, R, Zg, P*cpad]
+        cw = cpad
+    zrow = jnp.zeros((R, R, 1, cw), xv.dtype)
     # slab w=0 reads z = zg*P - 1: the PREVIOUS group's last slot,
     # zero-filled at zg=0 (SAME padding). Sublane-axis shift of a value.
-    lo = jnp.concatenate(
-        [zeros, xv[:, :, :-1, (P - 1) * cpad:]], axis=2
-    )
     # slab w=P+1 reads z = (zg+1)*P: the NEXT group's first slot.
-    hi = jnp.concatenate([xv[:, :, 1:, :cpad], zeros], axis=2)
-    stacked = jnp.concatenate([lo, xv, hi], axis=-1)  # [R, R, Zg, K]
+    chunks = [
+        jnp.concatenate([zrow, xv[:, :, :-1, (P - 1) * cw:]], axis=2),
+        xv,
+        jnp.concatenate([xv[:, :, 1:, :cw], zrow], axis=2),
+    ]
+    if fold_inside and cpad != cin:
+        # interleave the per-slab cin->cpad zero-pad while stacking
+        pad = jnp.zeros((R, R, Zg, cpad - cin), xv.dtype)
+        flat = [chunks[0]] + [
+            xv[..., i * cin:(i + 1) * cin] for i in range(P)
+        ] + [chunks[2]]
+        chunks = []
+        for c in flat:
+            chunks.extend((c, pad))
+    stacked = jnp.concatenate(chunks, axis=-1)  # [R, R, Zg, K]
     scratch_ref[1:R + 1, 1:R + 1] = stacked
 
     acc = jnp.zeros((R * R * Zg, _LANES), jnp.float32)
@@ -103,8 +121,11 @@ def _kernel(xg_ref, k_ref, b_ref, out_ref, scratch_ref, *,
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-    acc = acc + b_ref[0]
-    out_ref[0] = acc.reshape(R, R, Zg, _LANES).astype(out_dtype)
+    acc = (acc + b_ref[0]).astype(out_dtype)
+    if fold_inside:
+        out_ref[0] = acc.reshape(R, R, Z, cout)
+    else:
+        out_ref[0] = acc.reshape(R, R, Zg, _LANES)
 
 
 def _pack_kernel(kernel: jnp.ndarray, P: int, cpad: int,
@@ -125,8 +146,8 @@ def _pack_kernel(kernel: jnp.ndarray, P: int, cpad: int,
     return big.reshape(9, K, _LANES)
 
 
-@partial(jax.jit, static_argnums=(3,))
-def _conv_fwd(x, kernel, bias, interpret):
+@partial(jax.jit, static_argnums=(3, 4))
+def _conv_fwd(x, kernel, bias, interpret, fold):
     B, R, _, Z, cin = x.shape
     cout = kernel.shape[-1]
     P = _LANES // cout
@@ -139,30 +160,38 @@ def _conv_fwd(x, kernel, bias, interpret):
     K = (P + 2) * cpad
 
     cdt = jnp.bfloat16 if x.dtype == jnp.bfloat16 else x.dtype
-    if cpad != cin:
-        x = jnp.pad(x, ((0, 0),) * 4 + ((0, cpad - cin),))
-    # free, contiguous: fold z-groups into lanes
-    xg = x.reshape(B, R, R, Zg, P * cpad).astype(cdt)
+    inside = fold == "inside"
+    if inside:
+        # raw layout in, raw layout out: the z-group fold, the channel
+        # pad, and the output unfold all happen in VMEM.
+        xg = x.astype(cdt)
+        in_block = (1, R, R, Z, cin)
+        out_shape = jax.ShapeDtypeStruct((B, R, R, Z, cout), x.dtype)
+    else:
+        if cpad != cin:
+            x = jnp.pad(x, ((0, 0),) * 4 + ((0, cpad - cin),))
+        xg = x.reshape(B, R, R, Zg, P * cpad).astype(cdt)
+        in_block = (1, R, R, Zg, P * cpad)
+        out_shape = jax.ShapeDtypeStruct((B, R, R, Zg, _LANES), x.dtype)
     kw = _pack_kernel(kernel, P, cpad, cdt)
     bp = jnp.tile(bias.astype(jnp.float32), P).reshape(1, _LANES)
 
     out = pl.pallas_call(
-        partial(_kernel, R=R, Zg=Zg, P=P, cpad=cpad, K=K,
-                out_dtype=x.dtype),
+        partial(_kernel, R=R, Z=Z, Zg=Zg, P=P, cin=cin, cpad=cpad, K=K,
+                cout=cout, fold_inside=inside, out_dtype=x.dtype),
         grid=(B,),
         in_specs=[
-            pl.BlockSpec((1, R, R, Zg, P * cpad),
-                         lambda b: (b, 0, 0, 0, 0),
+            pl.BlockSpec(in_block, lambda b: (b, 0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((9, K, _LANES), lambda b: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, _LANES), lambda b: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, R, R, Zg, _LANES),
+        out_specs=pl.BlockSpec((1,) + out_shape.shape[1:],
                                lambda b: (b, 0, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, R, R, Zg, _LANES), x.dtype),
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((R + 2, R + 2, Zg, K), cdt),
         ],
@@ -171,6 +200,8 @@ def _conv_fwd(x, kernel, bias, interpret):
         ),
         interpret=interpret,
     )(xg, kw, bp)
+    if inside:
+        return out
     return out.reshape(B, R, R, Z, cout)
 
 
@@ -183,10 +214,10 @@ def _ref_conv(x, kernel, bias):
 
 
 @lru_cache(maxsize=None)
-def _make_conv(interpret: bool):
+def _make_conv(interpret: bool, fold: str):
     @jax.custom_vjp
     def conv(x, kernel, bias):
-        return _conv_fwd(x, kernel, bias, interpret)
+        return _conv_fwd(x, kernel, bias, interpret, fold)
 
     def fwd(x, kernel, bias):
         return conv(x, kernel, bias), (x, kernel, bias)
@@ -198,11 +229,17 @@ def _make_conv(interpret: bool):
     return conv
 
 
-def kstack_conv3d_pallas(x, kernel, bias, interpret=False):
+def kstack_conv3d_pallas(x, kernel, bias, interpret=False,
+                         fold="outside"):
     """3x3x3 SAME conv, [B, R, R, Z, Cin] x [3, 3, 3, Cin, Cout] ->
     [B, R, R, Z, Cout], k-stacked onto the MXU in VMEM.
+
+    ``fold``: "outside" reshapes the z-group fold in XLA (a tiled-layout
+    relayout copy each way on TPU); "inside" keeps the raw layout at the
+    pallas_call boundary and folds/unfolds in VMEM (relies on Mosaic
+    minor-dims reshape support).
 
     Check :func:`supports` first; shapes outside it are the caller's
     bug. Backward reuses XLA's native conv gradients (hand-written
     conv VJPs measured slower — BASELINE.md)."""
-    return _make_conv(bool(interpret))(x, kernel, bias)
+    return _make_conv(bool(interpret), fold)(x, kernel, bias)

@@ -43,7 +43,7 @@ def _round_up(x: int, m: int) -> int:
 
 def _bqg_kernel(centers_ref, points_ref, op_ref, out_ref,
                 cum_ref, *, radius_sq, num_neighbors, n_real, n_pad,
-                cp_out, lo_shift):
+                cp_out, lo_shift, cp_row=0):
     """One (batch element, M-tile) per grid step.
 
     centers_ref: [1, TM, 3] f32
@@ -54,6 +54,12 @@ def _bqg_kernel(centers_ref, points_ref, op_ref, out_ref,
                  index as an extra integer lane so neighbor indices ride
                  the gather matmul — exact under the hi/lo split)
     out_ref:     [1, TM, K*cp_out] f32 (gathered rows, slot-major lanes)
+                 — or [1, TM, K, cp_row] when ``cp_row`` > 0: the K
+                 slots stack into a sublane axis in VMEM, so HBM gets
+                 only ~C lanes per slot instead of the 128-aligned 3.5x
+                 padding (sa0: 1.22 GB -> 0.38 GB per forward), and the
+                 consumer-side [.., K*cp] -> [.., K, cp] relayout copy
+                 disappears.
     """
     K = num_neighbors
     cx = centers_ref[0, :, 0:1]  # [TM, 1]
@@ -99,6 +105,7 @@ def _bqg_kernel(centers_ref, points_ref, op_ref, out_ref,
 
     op = op_ref[0]  # [N, 2*cp_out] bf16
 
+    rows = []
     for k in range(K):
         k_eff = jnp.where(k < cnt, jnp.int32(k), 0)  # [TM, 1]
         s = (key == k_eff).astype(jnp.bfloat16)  # one-hot row per center
@@ -112,10 +119,15 @@ def _bqg_kernel(centers_ref, points_ref, op_ref, out_ref,
         else:
             # aligned [hi | lo] halves
             g = g_full[:, :cp_out] + g_full[:, cp_out:2 * cp_out]
-        out_ref[0, :, k * cp_out:(k + 1) * cp_out] = g[:, :cp_out]
+        if cp_row:
+            rows.append(g[:, :cp_row])
+        else:
+            out_ref[0, :, k * cp_out:(k + 1) * cp_out] = g[:, :cp_out]
+    if cp_row:
+        out_ref[0] = jnp.stack(rows, axis=1)  # [TM, K, cp_row]
 
 
-@partial(jax.jit, static_argnums=(3, 4, 5))
+@partial(jax.jit, static_argnums=(3, 4, 5, 6))
 def ball_query_group_pallas(
     centers: jnp.ndarray,
     points: jnp.ndarray,
@@ -123,6 +135,7 @@ def ball_query_group_pallas(
     radius: float,
     num_neighbors: int,
     interpret: bool = False,
+    row_major: bool = False,
 ):
     """Fused ball query + row gather.
 
@@ -133,6 +146,9 @@ def ball_query_group_pallas(
       radius: ball radius (static).
       num_neighbors: K (static).
       interpret: Pallas interpreter mode (CPU testing).
+      row_major: emit [B, M, K, cp] directly from VMEM (K slots stacked
+        into sublanes) instead of the 128-aligned slot-major lane layout
+        + relayout reshape. Same numbers; ~3.5x less HBM written at sa0.
     Returns:
       (gathered [B, M, K, C] f32, idx [B, M, K] int32)
     """
@@ -188,12 +204,25 @@ def ball_query_group_pallas(
         op = jnp.concatenate([jnp.pad(hi, cpad), jnp.pad(lo, cpad)], axis=-1)
     op = jnp.pad(op, ((0, 0), (0, n_pad - N), (0, 0)))  # [B, n_pad, cp_op]
 
+    cp_row = _round_up(ce, 8) if row_major else 0
     kernel = partial(
         _bqg_kernel,
         radius_sq=float(radius) * float(radius),
         num_neighbors=K, n_real=N, n_pad=n_pad, cp_out=cp_out,
-        lo_shift=lo_shift,
+        lo_shift=lo_shift, cp_row=cp_row,
     )
+    if row_major:
+        out_specs = pl.BlockSpec((1, tm, K, cp_row),
+                                 lambda b, t: (b, t, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((B, m_pad, K, cp_row),
+                                         jnp.float32)
+    else:
+        out_specs = pl.BlockSpec((1, tm, K * cp_out),
+                                 lambda b, t: (b, t, 0),
+                                 memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((B, m_pad, K * cp_out),
+                                         jnp.float32)
     grouped = pl.pallas_call(
         kernel,
         grid=(B, m_pad // tm),
@@ -205,9 +234,8 @@ def ball_query_group_pallas(
             pl.BlockSpec((1, n_pad, cp_op), lambda b, t: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, tm, K * cp_out), lambda b, t: (b, t, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, m_pad, K * cp_out), jnp.float32),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((tm, n_pad), jnp.int32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
@@ -215,7 +243,10 @@ def ball_query_group_pallas(
         interpret=interpret,
     )(centers_p, planes, op)
 
-    grouped = grouped[:, :M, :].reshape(B, M, K, cp_out)
+    if row_major:
+        grouped = grouped[:, :M]
+    else:
+        grouped = grouped[:, :M, :].reshape(B, M, K, cp_out)
     gathered = grouped[..., :C]
     idx = grouped[..., C].astype(jnp.int32)
     return gathered, idx

@@ -27,7 +27,7 @@ SHAPES = [  # (cin, cout, R, Z) from the PVDS_PUNet census
     (64, 64, 16, 16),   # sa1
     (128, 64, 16, 16),  # sa1
 ]
-MODES = ["std", "zpack", "pallas"]
+MODES = ["std", "zpack", "pallas/outside", "pallas/inside"]
 
 
 def timed(fn, x):
@@ -45,7 +45,9 @@ for cin, cout, R, Z in SHAPES:
         jnp.bfloat16,
     )
     row = [f"cin={cin:3d} cout={cout:3d} r={R}"]
-    for mode in MODES:
+    for spec in MODES:
+        mode, _, fold = spec.partition("/")
+        os.environ["P2PB_CONV3D_FOLD"] = fold or "outside"
         m = ZPackConv3d(cout, dtype=jnp.bfloat16, mode=mode)
         params = m.init(jax.random.key(0), x[:1])
 
@@ -59,7 +61,7 @@ for cin, cout, R, Z in SHAPES:
 
         try:
             ms = timed(scanned, x)
-            row.append(f"{mode}={ms:6.2f}ms")
+            row.append(f"{spec}={ms:6.2f}ms")
         except Exception as e:  # noqa: BLE001
-            row.append(f"{mode}=FAIL({type(e).__name__})")
+            row.append(f"{spec}=FAIL({type(e).__name__})")
     print("  ".join(row), flush=True)

@@ -318,3 +318,25 @@ def test_pallas_conv_falls_back_when_unsupported():
     want = np.asarray(std.apply(params, x))
     got = np.asarray(ZPackConv3d(32, mode="pallas").apply(params, x))
     np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
+def test_pallas_conv_inside_fold_matches():
+    """fold="inside" (z-group fold + channel pad + output unfold all in
+    VMEM) is the same math as fold="outside" and the standard conv."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from p2p_bridge_tpu.ops.pallas.conv3d_kernel import (
+        _ref_conv, kstack_conv3d_pallas,
+    )
+
+    rng = np.random.default_rng(17)
+    for cin, cout, R, Z in ((35, 32, 8, 8), (64, 64, 8, 8), (128, 64, 6, 4)):
+        x = jnp.asarray(rng.normal(size=(2, R, R, Z, cin)), jnp.float32)
+        k = jnp.asarray(rng.normal(size=(3, 3, 3, cin, cout)) * 0.1,
+                        jnp.float32)
+        b = jnp.asarray(rng.normal(size=(cout,)), jnp.float32)
+        want = np.asarray(_ref_conv(x, k, b))
+        got = np.asarray(
+            kstack_conv3d_pallas(x, k, b, interpret=True, fold="inside"))
+        np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)

@@ -66,6 +66,7 @@ def interpret_neighborhood(monkeypatch):
     return nk
 
 
+@pytest.mark.parametrize("row_major", [False, True])
 @pytest.mark.parametrize(
     "B,N,M,K,C,r",
     [
@@ -76,7 +77,7 @@ def interpret_neighborhood(monkeypatch):
     ],
 )
 def test_ball_query_group_pallas_matches_ops(
-    rng, interpret_neighborhood, B, N, M, K, C, r
+    rng, interpret_neighborhood, B, N, M, K, C, r, row_major
 ):
     from p2p_bridge_tpu.ops import ball_query, group
 
@@ -86,7 +87,8 @@ def test_ball_query_group_pallas_matches_ops(
     cen = jnp.take_along_axis(pts, jnp.asarray(sel)[..., None], axis=1)
     aug = jnp.asarray(rng.normal(size=(B, N, C)), jnp.float32)
 
-    got_g, got_i = nk.ball_query_group_pallas(cen, pts, aug, r, K)
+    got_g, got_i = nk.ball_query_group_pallas(
+        cen, pts, aug, r, K, row_major=row_major)
     want_i = ball_query(cen, pts, r, K)
     want_g = group(aug, want_i)
 
