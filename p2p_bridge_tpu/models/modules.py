@@ -78,11 +78,26 @@ class AdaGN(nn.Module):
     dtype: type = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, cond: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, cond: jnp.ndarray,
+                 return_affine: bool = False):
         C = self.num_channels
 
         def bias_init(key, shape, dtype=jnp.float32):
             return jnp.concatenate([jnp.ones(C, dtype), jnp.zeros(C, dtype)])
+
+        if return_affine:
+            # Fused-kernel mode: AdaGN folds to a per-cloud affine on the
+            # raw group normalization — norm(x)*(s*factor) + (b*factor +
+            # shift). Return that [B, C] pair instead of applying it; the
+            # param tree stays identical (GroupNormParams mirrors the
+            # nn.GroupNorm node, auto-names preserved).
+            scale, nbias = GroupNormParams(C, name="GroupNorm_0")()
+            fb = nn.Dense(2 * C, kernel_init=variance_scaling_uniform(),
+                          bias_init=bias_init, dtype=self.dtype)(
+                cond.astype(x.dtype)
+            ).astype(jnp.float32)
+            factor, shift = fb[:, :C], fb[:, C:]
+            return scale[None, :] * factor, nbias[None, :] * factor + shift
 
         h = nn.GroupNorm(num_groups=self.num_groups, epsilon=1e-5,
                          dtype=self.dtype)(x)
@@ -284,6 +299,57 @@ class Pnet2Stage(nn.Module):
         return jnp.max(feat, axis=1)  # [B, c2]
 
 
+def pick_conv3d_mode(cin: int, cout: int, Z: int,
+                     mode: Optional[str] = None) -> str:
+    """Measured voxel-conv dispatch policy (BASELINE.md roofline,
+    B=73 r=32 v5e): zpack pays only for 64->64 convs (47-63 -> 140-162
+    TF/s; the 2x FLOP cost is beaten by the full-lane rate). XLA-side
+    kstack reaches higher conv rates (104-131 TF/s at (P+2)/3 FLOPs) but
+    building the (P+2)/P-wide slab-stacked input costs strided gathers +
+    pads + concats that exceed the MXU win (whole-forward 99.2 ms
+    kstack-default vs 60.3 ms this policy) — it stays opt-in; the Pallas
+    kernel ("pallas") forms the slabs in VMEM instead."""
+    if mode is not None:
+        return mode
+    env = os.environ.get("P2PB_CONV3D", "")
+    if env:
+        return env
+    if jax.devices()[0].platform != "tpu":
+        return "std"
+    if cin == 64 and cout == 64 and Z % 2 == 0 and Z >= 4:
+        return "zpack"
+    return "std"
+
+
+def conv3d_gn_fusible(cin: int, cout: int, R: int, Z: int) -> bool:
+    """True when the conv+GroupNorm chain will run the fused Pallas
+    kernel (policy picks "pallas" and the kernel supports the shape)."""
+    from ..ops.pallas.conv3d_kernel import supports
+
+    return (
+        pick_conv3d_mode(cin, cout, Z) == "pallas"
+        and os.environ.get("P2PB_GN_FUSE", "1") == "1"
+        and R == Z  # voxel grids are cubic; kernel assumes X == Y
+        and supports(cin, cout, R, Z)
+    )
+
+
+class GroupNormParams(nn.Module):
+    """Parameter holder reproducing ``nn.GroupNorm``'s tree ({scale: ones,
+    bias: zeros} of shape [C]) so the fused conv+GN Pallas path swaps in
+    without changing checkpoints or torch-parity name mapping."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones,
+                           (self.features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        return scale, bias
+
+
 class ZPackConv3d(nn.Module):
     """3x3x3 SAME conv over a voxel grid, z-packed for the MXU.
 
@@ -311,28 +377,16 @@ class ZPackConv3d(nn.Module):
     def _pick_mode(self, cin: int, cout: int, Z: int) -> str:
         if self.force_pack is not None:  # legacy test hook
             return "zpack" if self.force_pack else "std"
-        if self.mode is not None:
-            return self.mode
-        env = os.environ.get("P2PB_CONV3D", "")
-        if env:
-            return env
-        if jax.devices()[0].platform != "tpu":
-            return "std"
-        # Measured policy (BASELINE.md roofline, B=73 r=32 v5e): zpack
-        # pays only for 64->64 convs (47-63 -> 140-162 TF/s; the 2x FLOP
-        # cost is beaten by the full-lane rate). kstack reaches higher
-        # conv rates (104-131 TF/s at (P+2)/3 FLOPs) but building the
-        # (P+2)/P-wide slab-stacked input costs strided gathers + pads +
-        # concats (~11 ms/fwd at fp3, ~4.4 ms at sa0) that exceed the MXU
-        # win: whole-forward 99.2 ms kstack-default vs 60.3 ms this
-        # policy. kstack stays opt-in (mode="kstack" / P2PB_CONV3D) until
-        # a Pallas conv can form the slabs in VMEM.
-        if cin == 64 and cout == 64 and Z % 2 == 0 and Z >= 4:
-            return "zpack"
-        return "std"
+        return pick_conv3d_mode(cin, cout, Z, mode=self.mode)
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, gn=None) -> jnp.ndarray:
+        """gn, when given, is (gamma, beta, groups, eps, act): apply
+        GroupNorm (gamma/beta [C] shared or [B, C] per-cloud — the AdaGN
+        folding) and an optional swish after the conv. On the Pallas
+        path the epilogue runs inside the kernel on the VMEM-resident
+        accumulator; every other mode composes it in XLA so the caller
+        contract is uniform."""
         cin = x.shape[-1]
         cout = self.features
         kernel = self.param(
@@ -346,6 +400,14 @@ class ZPackConv3d(nn.Module):
         B, X, Y, Z = x.shape[0], x.shape[1], x.shape[2], x.shape[3]
         mode = self._pick_mode(cin, cout, Z)
 
+        def epilogue(y):
+            if gn is None:
+                return y
+            from ..ops.pallas.conv3d_kernel import _apply_gn_xla
+            gamma, beta, groups, eps, act = gn
+            return _apply_gn_xla(y, gamma, beta, groups=groups, eps=eps,
+                                 act=act)
+
         if mode == "zpack" and not (Z % 2 == 0 and Z >= 4):
             mode = "std"
         if mode == "kstack" and not (
@@ -354,16 +416,22 @@ class ZPackConv3d(nn.Module):
             mode = "std"
         if mode == "pallas":
             from ..ops.pallas.conv3d_kernel import (
-                kstack_conv3d_pallas, supports,
+                kstack_conv3d_gn_pallas, kstack_conv3d_pallas, supports,
             )
             if (
                 x.shape[1] == x.shape[2]
                 and supports(cin, cout, x.shape[1], Z)
             ):
+                interp = jax.devices()[0].platform != "tpu"
+                fold = os.environ.get("P2PB_CONV3D_FOLD", "outside")
+                if gn is not None:
+                    gamma, beta, groups, eps, act = gn
+                    return kstack_conv3d_gn_pallas(
+                        x, kernel, bias, gamma, beta, groups=groups,
+                        eps=eps, act=act, interpret=interp, fold=fold,
+                    )
                 return kstack_conv3d_pallas(
-                    x, kernel, bias,
-                    interpret=jax.devices()[0].platform != "tpu",
-                    fold=os.environ.get("P2PB_CONV3D_FOLD", "outside"),
+                    x, kernel, bias, interpret=interp, fold=fold,
                 )
             mode = "std"
 
@@ -372,7 +440,7 @@ class ZPackConv3d(nn.Module):
                 x, kernel, (1, 1, 1), "SAME",
                 dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
             )
-            return y + bias
+            return epilogue(y + bias)
 
         if mode == "zpack":
             # Dense z-pack: [B,X,Y,Z/P,P*Cin] conv with a structurally
@@ -395,7 +463,7 @@ class ZPackConv3d(nn.Module):
                 dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
             )
             y = y.reshape(B, X, Y, Z, cout)
-            return y + bias
+            return epilogue(y + bias)
 
         # kstack: stack the P+2 overlapping z-slabs of each P-sized output
         # group into the CONTRACTION dim instead of zero-padding both dims.
@@ -424,4 +492,4 @@ class ZPackConv3d(nn.Module):
             dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
         )  # [B, X, Y, Zg, P*Cout]
         y = y.reshape(B, X, Y, Z, cout)
-        return y + bias
+        return epilogue(y + bias)

@@ -40,10 +40,12 @@ from ..ops import (
 )
 from .modules import (
     AdaGN,
+    GroupNormParams,
     LinearAttention,
     SE,
     SharedMLP,
     ZPackConv3d,
+    conv3d_gn_fusible,
     swish,
 )
 
@@ -259,24 +261,36 @@ class PVConv(nn.Module):
         vox, cont = normalize_coords_to_voxels(coords, r)
         grid = avg_voxelize(features, vox, r)  # [B, r, r, r, C_in]
 
-        h = ZPackConv3d(s.out_channels, name="vconv1",
-                        dtype=self.dtype)(grid)
-        if self.use_cond and cond is not None:
-            h = AdaGN(num_channels=s.out_channels, name="vnorm1",
-                      dtype=self.dtype)(h, cond)
-        else:
-            h = nn.GroupNorm(num_groups=8, epsilon=1e-5, name="vnorm1",
-                             dtype=self.dtype)(h)
-        h = swish(h)
+        def conv_gn(x, conv_name, norm_name, act):
+            """conv -> GroupNorm/AdaGN (-> swish): one fused Pallas
+            kernel when the shape dispatches there (the GN epilogue runs
+            on the VMEM-resident accumulator — BASELINE.md roofline),
+            the original module composition otherwise. Param trees are
+            identical either way."""
+            cout = s.out_channels
+            use_ada = self.use_cond and cond is not None
+            if conv3d_gn_fusible(x.shape[-1], cout, r, r):
+                if use_ada:
+                    ga, be = AdaGN(num_channels=cout, name=norm_name,
+                                   dtype=self.dtype)(
+                        x, cond, return_affine=True)
+                else:
+                    ga, be = GroupNormParams(cout, name=norm_name)()
+                return ZPackConv3d(cout, name=conv_name,
+                                   dtype=self.dtype)(
+                    x, gn=(ga, be, 8, 1e-5, act))
+            h = ZPackConv3d(cout, name=conv_name, dtype=self.dtype)(x)
+            if use_ada:
+                h = AdaGN(num_channels=cout, name=norm_name,
+                          dtype=self.dtype)(h, cond)
+            else:
+                h = nn.GroupNorm(num_groups=8, epsilon=1e-5,
+                                 name=norm_name, dtype=self.dtype)(h)
+            return swish(h) if act else h
+
+        h = conv_gn(grid, "vconv1", "vnorm1", act=True)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
-        h = ZPackConv3d(s.out_channels, name="vconv2",
-                        dtype=self.dtype)(h)
-        if self.use_cond and cond is not None:
-            h = AdaGN(num_channels=s.out_channels, name="vnorm2",
-                      dtype=self.dtype)(h, cond)
-        else:
-            h = nn.GroupNorm(num_groups=8, epsilon=1e-5, name="vnorm2",
-                             dtype=self.dtype)(h)
+        h = conv_gn(h, "vconv2", "vnorm2", act=False)
         if self.use_se:
             # gate only: SE's per-(b, c) scale commutes with the linear
             # devoxelize, so it is applied on [B, N, C] points below.

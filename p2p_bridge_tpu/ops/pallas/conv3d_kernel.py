@@ -63,8 +63,9 @@ def supports(cin: int, cout: int, R: int, Z: int) -> bool:
     return R >= 4
 
 
-def _kernel(xg_ref, k_ref, b_ref, out_ref, scratch_ref, *,
-            R, Z, Zg, P, cin, cpad, K, cout, fold_inside, out_dtype):
+def _kernel(xg_ref, k_ref, b_ref, *rest,
+            R, Z, Zg, P, cin, cpad, K, cout, fold_inside, out_dtype,
+            gn_groups=0, gn_eps=1e-5, gn_act=False):
     """One cloud per grid step.
 
     xg_ref:  [1, R, R, Zg, P*cpad] — input grid, z-groups in lanes —
@@ -73,9 +74,22 @@ def _kernel(xg_ref, k_ref, b_ref, out_ref, scratch_ref, *,
              saving the HBM relayout copy the outside reshape costs).
     k_ref:   [9, K, 128] — block-banded kstack weights, K = (P+2)*cpad.
     b_ref:   [1, 128] f32 — bias tiled over the P output slots.
+    rest:    [gamma_ref, beta_ref] (each [1, 128] f32, per-cloud affine
+             tiled over the P slots) when ``gn_groups`` > 0, then
+             out_ref, scratch_ref.
     out_ref: [1, R, R, Zg, 128], or [1, R, R, Z, cout] when folding.
     scratch: [R+2, R+2, Zg, K] — zero-bordered slab-stacked input.
+
+    With ``gn_groups`` the kernel applies GroupNorm (+ optional swish)
+    on the f32 accumulator before the output store: the whole cloud is
+    resident here, so the per-(cloud, group) statistics are exact and
+    the conv->norm->act chain never round-trips the grid through HBM
+    (~2 full passes saved per conv at r=32).
     """
+    if gn_groups:
+        gamma_ref, beta_ref, out_ref, scratch_ref = rest
+    else:
+        out_ref, scratch_ref = rest
     b = pl.program_id(0)
 
     @pl.when(b == 0)
@@ -121,7 +135,29 @@ def _kernel(xg_ref, k_ref, b_ref, out_ref, scratch_ref, *,
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-    acc = (acc + b_ref[0]).astype(out_dtype)
+    acc = acc + b_ref[0]
+    if gn_groups:
+        # GroupNorm over (all voxels, channels-in-group) per cloud.
+        # Lane l holds z-slot j = l // cout, channel c = l % cout; the
+        # lane-mixing matrix SAME[l, l'] = [group(l) == group(l')] sums
+        # group statistics across slots and channels in one 128x128
+        # matmul each for mean and E[x^2].
+        gs = cout // gn_groups
+        li = jax.lax.broadcasted_iota(jnp.int32, (_LANES, _LANES), 0)
+        lj = jax.lax.broadcasted_iota(jnp.int32, (_LANES, _LANES), 1)
+        same = ((li % cout) // gs == (lj % cout) // gs).astype(jnp.float32)
+        cnt = float(R * R * Zg * P * gs)
+        s1 = jnp.sum(acc, axis=0, keepdims=True)        # [1, 128]
+        s2 = jnp.sum(acc * acc, axis=0, keepdims=True)
+        mean = jnp.dot(s1, same, preferred_element_type=jnp.float32) / cnt
+        ex2 = jnp.dot(s2, same, preferred_element_type=jnp.float32) / cnt
+        rstd = jax.lax.rsqrt(ex2 - mean * mean + gn_eps)
+        ga = gamma_ref[...] * rstd                      # [1, 128]
+        be = beta_ref[...] - mean * ga
+        acc = acc * ga + be
+        if gn_act:
+            acc = acc * jax.nn.sigmoid(acc)  # swish
+    acc = acc.astype(out_dtype)
     if fold_inside:
         out_ref[0] = acc.reshape(R, R, Z, cout)
     else:
@@ -146,8 +182,9 @@ def _pack_kernel(kernel: jnp.ndarray, P: int, cpad: int,
     return big.reshape(9, K, _LANES)
 
 
-@partial(jax.jit, static_argnums=(3, 4))
-def _conv_fwd(x, kernel, bias, interpret, fold):
+@partial(jax.jit, static_argnums=(5, 6, 7, 8, 9))
+def _conv_fwd(x, kernel, bias, gamma, beta, interpret, fold,
+              gn_groups, gn_eps, gn_act):
     B, R, _, Z, cin = x.shape
     cout = kernel.shape[-1]
     P = _LANES // cout
@@ -176,18 +213,33 @@ def _conv_fwd(x, kernel, bias, interpret, fold):
     kw = _pack_kernel(kernel, P, cpad, cdt)
     bp = jnp.tile(bias.astype(jnp.float32), P).reshape(1, _LANES)
 
+    in_specs = [
+        pl.BlockSpec(in_block, lambda b: (b, 0, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((9, K, _LANES), lambda b: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, _LANES), lambda b: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [xg, kw, bp]
+    if gn_groups:
+        # per-cloud affine rows, channels tiled over the P slots
+        gb = jnp.broadcast_to(gamma.astype(jnp.float32), (B, cout))
+        bb = jnp.broadcast_to(beta.astype(jnp.float32), (B, cout))
+        operands += [jnp.tile(gb, (1, P)), jnp.tile(bb, (1, P))]
+        in_specs += [
+            pl.BlockSpec((1, _LANES), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _LANES), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+
     out = pl.pallas_call(
         partial(_kernel, R=R, Z=Z, Zg=Zg, P=P, cin=cin, cpad=cpad, K=K,
-                cout=cout, fold_inside=inside, out_dtype=x.dtype),
+                cout=cout, fold_inside=inside, out_dtype=x.dtype,
+                gn_groups=gn_groups, gn_eps=gn_eps, gn_act=gn_act),
         grid=(B,),
-        in_specs=[
-            pl.BlockSpec(in_block, lambda b: (b, 0, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((9, K, _LANES), lambda b: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _LANES), lambda b: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1,) + out_shape.shape[1:],
                                lambda b: (b, 0, 0, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -199,7 +251,7 @@ def _conv_fwd(x, kernel, bias, interpret, fold):
             vmem_limit_bytes=100 * 2**20,
         ),
         interpret=interpret,
-    )(xg, kw, bp)
+    )(*operands)
     if inside:
         return out
     return out.reshape(B, R, R, Z, cout)
@@ -213,11 +265,40 @@ def _ref_conv(x, kernel, bias):
     return y + bias
 
 
+def _apply_gn_xla(y, gamma, beta, *, groups, eps, act):
+    """GroupNorm (+ optional swish) epilogue in plain XLA — the fallback
+    when a conv shape can't take the fused Pallas path. Stats in f32 per
+    (cloud, group) over all voxels, exactly the kernel's math."""
+    dt = y.dtype
+    y = y.astype(jnp.float32)
+    B, R1, R2, Z, C = y.shape
+    gs = C // groups
+    yg = y.reshape(B, R1 * R2 * Z, groups, gs)
+    m = yg.mean(axis=(1, 3), keepdims=True)
+    v = (yg * yg).mean(axis=(1, 3), keepdims=True) - m * m
+    yn = ((yg - m) * jax.lax.rsqrt(v + eps)).reshape(y.shape)
+    gamma = jnp.broadcast_to(gamma.astype(jnp.float32), (B, C))
+    beta = jnp.broadcast_to(beta.astype(jnp.float32), (B, C))
+    yn = yn * gamma[:, None, None, None, :] + beta[:, None, None, None, :]
+    if act:
+        yn = yn * jax.nn.sigmoid(yn)
+    return yn.astype(dt)
+
+
+def _ref_conv_gn(x, kernel, bias, gamma, beta, *, groups, eps, act):
+    """XLA reference for the fused conv+GN(+swish): the custom-VJP
+    backward differentiates this composition (hand-written conv VJPs
+    measured slower — BASELINE.md). gamma/beta broadcast over [B, C]."""
+    y = _ref_conv(x, kernel, bias)
+    return _apply_gn_xla(y, gamma, beta, groups=groups, eps=eps, act=act)
+
+
 @lru_cache(maxsize=None)
 def _make_conv(interpret: bool, fold: str):
     @jax.custom_vjp
     def conv(x, kernel, bias):
-        return _conv_fwd(x, kernel, bias, interpret, fold)
+        return _conv_fwd(x, kernel, bias, None, None, interpret, fold,
+                         0, 1e-5, False)
 
     def fwd(x, kernel, bias):
         return conv(x, kernel, bias), (x, kernel, bias)
@@ -227,6 +308,27 @@ def _make_conv(interpret: bool, fold: str):
 
     conv.defvjp(fwd, bwd)
     return conv
+
+
+@lru_cache(maxsize=None)
+def _make_conv_gn(interpret: bool, fold: str, groups: int, eps: float,
+                  act: bool):
+    ref = partial(_ref_conv_gn, groups=groups, eps=eps, act=act)
+
+    @jax.custom_vjp
+    def convgn(x, kernel, bias, gamma, beta):
+        return _conv_fwd(x, kernel, bias, gamma, beta, interpret, fold,
+                         groups, eps, act)
+
+    def fwd(x, kernel, bias, gamma, beta):
+        return convgn(x, kernel, bias, gamma, beta), (
+            x, kernel, bias, gamma, beta)
+
+    def bwd(res, g):
+        return jax.vjp(ref, *res)[1](g)
+
+    convgn.defvjp(fwd, bwd)
+    return convgn
 
 
 def kstack_conv3d_pallas(x, kernel, bias, interpret=False,
@@ -243,3 +345,20 @@ def kstack_conv3d_pallas(x, kernel, bias, interpret=False,
     bug. Backward reuses XLA's native conv gradients (hand-written
     conv VJPs measured slower — BASELINE.md)."""
     return _make_conv(bool(interpret), fold)(x, kernel, bias)
+
+
+def kstack_conv3d_gn_pallas(x, kernel, bias, gamma, beta, groups=8,
+                            eps=1e-5, act=False, interpret=False,
+                            fold="outside"):
+    """Fused 3x3x3 SAME conv + GroupNorm (+ optional swish).
+
+    The GN statistics and affine are applied on the f32 accumulator
+    inside the conv kernel while the cloud's grid is VMEM-resident,
+    saving ~2 full HBM passes over the grid per conv (reference chain:
+    models/pvcnn.py:262-279 Conv3d -> GroupNorm/AdaGN -> SiLU).
+
+    gamma/beta: [C] shared affine (plain GroupNorm) or [B, C] per-cloud
+    (AdaGN folded: norm_scale * factor(cond), norm_bias * factor + shift).
+    """
+    return _make_conv_gn(bool(interpret), fold, int(groups), float(eps),
+                         bool(act))(x, kernel, bias, gamma, beta)

@@ -27,7 +27,8 @@ SHAPES = [  # (cin, cout, R, Z) from the PVDS_PUNet census
     (64, 64, 16, 16),   # sa1
     (128, 64, 16, 16),  # sa1
 ]
-MODES = ["std", "zpack", "pallas/outside", "pallas/inside"]
+MODES = ["std", "zpack", "pallas/outside", "pallas/inside",
+         "std+gn", "zpack+gn", "pallas/inside+gn"]
 
 
 def timed(fn, x):
@@ -44,15 +45,19 @@ for cin, cout, R, Z in SHAPES:
         np.random.default_rng(0).normal(size=(B, R, R, Z, cin)),
         jnp.bfloat16,
     )
+    gn_scale = jnp.ones((cout,), jnp.float32)
+    gn_bias = jnp.zeros((cout,), jnp.float32)
     row = [f"cin={cin:3d} cout={cout:3d} r={R}"]
     for spec in MODES:
-        mode, _, fold = spec.partition("/")
+        spec_base, _, gn_tag = spec.partition("+")
+        mode, _, fold = spec_base.partition("/")
+        gn = (gn_scale, gn_bias, 8, 1e-5, True) if gn_tag else None
         os.environ["P2PB_CONV3D_FOLD"] = fold or "outside"
         m = ZPackConv3d(cout, dtype=jnp.bfloat16, mode=mode)
         params = m.init(jax.random.key(0), x[:1])
 
-        def step(c, i, m=m, params=params):
-            y = m.apply(params, c + i.astype(c.dtype) * 1e-6)
+        def step(c, i, m=m, params=params, gn=gn):
+            y = m.apply(params, c + i.astype(c.dtype) * 1e-6, gn=gn)
             return c, jnp.mean(y, axis=(1, 2))[:, None, None, :]
 
         def scanned(xx, m=m, params=params):

@@ -1,0 +1,32 @@
+#!/bin/bash
+# One serialized TPU measurement session (one process at a time — the
+# axon tunnel serializes leases): per-shape conv A/B, then whole-forward
+# A/B of the layout/fusion candidates. Results append to $LOG.
+set -u
+cd "$(dirname "$0")/.."
+LOG=${1:-/tmp/ab_r3.log}
+
+run() {  # run NAME ENVVARS... -- CMD...
+  local name=$1; shift
+  local envs=()
+  while [ "$1" != "--" ]; do envs+=("$1"); shift; done
+  shift
+  echo "=== $name ($(date -u +%H:%M:%S)) env: ${envs[*]:-none}" | tee -a "$LOG"
+  timeout 900 env "${envs[@]}" "$@" >> "$LOG" 2>&1
+  echo "--- rc=$? ($(date -u +%H:%M:%S))" | tee -a "$LOG"
+}
+
+run conv_shapes -- python scripts/bench_conv3d.py
+
+run fwd_baseline -- \
+  python scripts/profile_forward.py fwd --out /tmp/op_base.json
+run fwd_bqg_rows P2PB_BQG_ROWS=1 -- \
+  python scripts/profile_forward.py fwd --out /tmp/op_rows.json
+run fwd_pallas_conv P2PB_CONV3D=pallas P2PB_GN_FUSE=1 P2PB_CONV3D_FOLD=inside -- \
+  python scripts/profile_forward.py fwd --out /tmp/op_pconv.json
+run fwd_pallas_conv_nogn P2PB_CONV3D=pallas P2PB_GN_FUSE=0 P2PB_CONV3D_FOLD=inside -- \
+  python scripts/profile_forward.py fwd --out /tmp/op_pconv_nogn.json
+run fwd_combo P2PB_CONV3D=pallas P2PB_GN_FUSE=1 P2PB_CONV3D_FOLD=inside P2PB_BQG_ROWS=1 -- \
+  python scripts/profile_forward.py fwd --out /tmp/op_combo.json
+
+echo "=== DONE $(date -u +%H:%M:%S)" | tee -a "$LOG"

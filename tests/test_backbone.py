@@ -320,6 +320,71 @@ def test_pallas_conv_falls_back_when_unsupported():
     np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.parametrize("use_cond", [False, True])
+def test_pvconv_fused_gn_path_matches_modules(monkeypatch, use_cond):
+    """PVConv with the fused conv+GN Pallas path (forced via env; runs
+    interpreted on CPU) == the nn.GroupNorm/AdaGN module composition,
+    with the SAME param tree (checkpoints interchange)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from p2p_bridge_tpu.models.pvcnn import PVConv, PVConvSpec
+
+    rng = np.random.default_rng(7)
+    B, N, C, r = 2, 64, 12, 8
+    feats = jnp.asarray(rng.normal(size=(B, N, C)), jnp.float32)
+    coords = jnp.asarray(rng.random((B, N, 3)) * 2 - 1, jnp.float32)
+    cond = (jnp.asarray(rng.normal(size=(B, 24)), jnp.float32)
+            if use_cond else None)
+    mod = PVConv(PVConvSpec(C, 32, r, False), use_cond=use_cond)
+
+    monkeypatch.delenv("P2PB_CONV3D", raising=False)
+    params = mod.init(jax.random.key(0), feats, coords, cond, True)
+    want = np.asarray(mod.apply(params, feats, coords, cond, True))
+
+    monkeypatch.setenv("P2PB_CONV3D", "pallas")
+    params_f = mod.init(jax.random.key(0), feats, coords, cond, True)
+    assert jax.tree_util.tree_structure(params) == \
+        jax.tree_util.tree_structure(params_f)
+    got = np.asarray(mod.apply(params, feats, coords, cond, True))
+
+    scale = np.abs(want).max() + 1e-12
+    np.testing.assert_allclose(got, want, atol=5e-5 * scale)
+
+
+def test_pallas_conv_gn_fused_matches_reference():
+    """Fused conv+GroupNorm(+swish) epilogue == the XLA composition,
+    for shared [C] and per-cloud [B, C] affines, both fold modes."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from p2p_bridge_tpu.ops.pallas.conv3d_kernel import (
+        _ref_conv_gn, kstack_conv3d_gn_pallas,
+    )
+
+    rng = np.random.default_rng(23)
+    for cin, cout, R, Z, per_cloud, act in (
+        (35, 32, 8, 8, False, True),
+        (64, 64, 8, 8, True, False),
+        (128, 64, 6, 4, True, True),
+    ):
+        B = 2
+        x = jnp.asarray(rng.normal(size=(B, R, R, Z, cin)), jnp.float32)
+        k = jnp.asarray(rng.normal(size=(3, 3, 3, cin, cout)) * 0.1,
+                        jnp.float32)
+        b = jnp.asarray(rng.normal(size=(cout,)), jnp.float32)
+        shape = (B, cout) if per_cloud else (cout,)
+        ga = jnp.asarray(rng.normal(size=shape) * 0.5 + 1.0, jnp.float32)
+        be = jnp.asarray(rng.normal(size=shape) * 0.2, jnp.float32)
+        want = np.asarray(
+            _ref_conv_gn(x, k, b, ga, be, groups=8, eps=1e-5, act=act))
+        for fold in ("outside", "inside"):
+            got = np.asarray(kstack_conv3d_gn_pallas(
+                x, k, b, ga, be, act=act, interpret=True, fold=fold))
+            np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-4)
+
+
 def test_pallas_conv_inside_fold_matches():
     """fold="inside" (z-group fold + channel pad + output unfold all in
     VMEM) is the same math as fold="outside" and the standard conv."""
