@@ -321,16 +321,16 @@ def pick_conv3d_mode(cin: int, cout: int, Z: int,
     return "std"
 
 
-def conv3d_gn_fusible(cin: int, cout: int, R: int, Z: int) -> bool:
-    """True when the conv+GroupNorm chain will run the fused Pallas
-    kernel (policy picks "pallas" and the kernel supports the shape)."""
+def conv3d_gn_fusible(cin: int, cout: int, r: int) -> bool:
+    """True when the conv+GroupNorm chain over a cubic [r, r, r] voxel
+    grid will run the fused Pallas kernel (policy picks "pallas" and the
+    kernel supports the shape)."""
     from ..ops.pallas.conv3d_kernel import supports
 
     return (
-        pick_conv3d_mode(cin, cout, Z) == "pallas"
+        pick_conv3d_mode(cin, cout, r) == "pallas"
         and os.environ.get("P2PB_GN_FUSE", "1") == "1"
-        and R == Z  # voxel grids are cubic; kernel assumes X == Y
-        and supports(cin, cout, R, Z)
+        and supports(cin, cout, r, r)
     )
 
 

@@ -268,23 +268,24 @@ class PVConv(nn.Module):
             the original module composition otherwise. Param trees are
             identical either way."""
             cout = s.out_channels
+            groups, eps = 8, 1e-5  # single source for BOTH branches
             use_ada = self.use_cond and cond is not None
-            if conv3d_gn_fusible(x.shape[-1], cout, r, r):
+            if conv3d_gn_fusible(x.shape[-1], cout, r):
                 if use_ada:
-                    ga, be = AdaGN(num_channels=cout, name=norm_name,
-                                   dtype=self.dtype)(
+                    ga, be = AdaGN(num_channels=cout, num_groups=groups,
+                                   name=norm_name, dtype=self.dtype)(
                         x, cond, return_affine=True)
                 else:
                     ga, be = GroupNormParams(cout, name=norm_name)()
                 return ZPackConv3d(cout, name=conv_name,
                                    dtype=self.dtype)(
-                    x, gn=(ga, be, 8, 1e-5, act))
+                    x, gn=(ga, be, groups, eps, act))
             h = ZPackConv3d(cout, name=conv_name, dtype=self.dtype)(x)
             if use_ada:
-                h = AdaGN(num_channels=cout, name=norm_name,
-                          dtype=self.dtype)(h, cond)
+                h = AdaGN(num_channels=cout, num_groups=groups,
+                          name=norm_name, dtype=self.dtype)(h, cond)
             else:
-                h = nn.GroupNorm(num_groups=8, epsilon=1e-5,
+                h = nn.GroupNorm(num_groups=groups, epsilon=eps,
                                  name=norm_name, dtype=self.dtype)(h)
             return swish(h) if act else h
 

@@ -54,7 +54,9 @@ for cin, cout, R, Z in SHAPES:
         gn = (gn_scale, gn_bias, 8, 1e-5, True) if gn_tag else None
         os.environ["P2PB_CONV3D_FOLD"] = fold or "outside"
         m = ZPackConv3d(cout, dtype=jnp.bfloat16, mode=mode)
-        params = m.init(jax.random.key(0), x[:1])
+        # jit the init: eager model code remote-compiles per-op on this
+        # backend (CLAUDE.md)
+        params = jax.jit(m.init)(jax.random.key(0), x[:1])
 
         def step(c, i, m=m, params=params, gn=gn):
             y = m.apply(params, c + i.astype(c.dtype) * 1e-6, gn=gn)

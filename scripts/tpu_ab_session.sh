@@ -13,7 +13,15 @@ run() {  # run NAME ENVVARS... -- CMD...
   shift
   echo "=== $name ($(date -u +%H:%M:%S)) env: ${envs[*]:-none}" | tee -a "$LOG"
   timeout 900 env "${envs[@]}" "$@" >> "$LOG" 2>&1
-  echo "--- rc=$? ($(date -u +%H:%M:%S))" | tee -a "$LOG"
+  local rc=$?
+  echo "--- rc=$rc ($(date -u +%H:%M:%S))" | tee -a "$LOG"
+  if [ "$rc" -eq 124 ] || [ "$rc" -eq 143 ]; then
+    # a killed TPU client blocks the next lease for minutes (CLAUDE.md);
+    # wait until a probe succeeds before the next measurement so one bad
+    # run doesn't cascade through the whole session
+    echo "--- killed client: probing until the backend is back" | tee -a "$LOG"
+    bash "$(dirname "$0")/tpu_probe_loop.sh" "$LOG.probe"
+  fi
 }
 
 run conv_shapes -- python scripts/bench_conv3d.py
