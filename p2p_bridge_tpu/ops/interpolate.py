@@ -14,6 +14,7 @@ matching the CUDA backward's atomic adds.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -74,6 +75,54 @@ def three_nn(
     return w, idx.astype(jnp.int32)
 
 
+def _sparse_weight_matrix(w, idx, M):
+    """Dense [B, N, M] from 3 IDW weights + indices (f32)."""
+    iota = jnp.arange(M, dtype=jnp.int32)
+    W = jnp.zeros(idx.shape[:2] + (M,), jnp.float32)
+    for j in range(idx.shape[-1]):
+        W = W + jnp.where(idx[..., j, None] == iota, w[..., j, None], 0.0)
+    return W
+
+
+@jax.custom_vjp
+def _nn_interp_fused(points, centers, features):
+    from .pallas.interp_kernel import three_nn_interpolate_pallas
+
+    out, _ = three_nn_interpolate_pallas(
+        points, centers, features,
+        interpret=jax.devices()[0].platform != "tpu",
+    )
+    return out.astype(features.dtype)
+
+
+def _nn_interp_fused_fwd(points, centers, features):
+    from .pallas.interp_kernel import three_nn_interpolate_pallas
+
+    out, aux = three_nn_interpolate_pallas(
+        points, centers, features,
+        interpret=jax.devices()[0].platform != "tpu",
+    )
+    return out.astype(features.dtype), (aux, points, centers)
+
+
+def _nn_interp_fused_bwd(res, g):
+    # d_features = W^T @ g (the CUDA backward's atomic scatter,
+    # neighbor_interpolate.cu:109-130, as a transpose matmul). Weights
+    # are stop-gradient per the reference wrapper -> no coords grads.
+    aux, points, centers = res
+    w = aux[..., :3]
+    idx = aux[..., 3:6].astype(jnp.int32)
+    W = _sparse_weight_matrix(w, idx, centers.shape[1])
+    d_feat = jnp.einsum(
+        "bnm,bnc->bmc", W.astype(jnp.bfloat16),
+        g.astype(jnp.bfloat16), preferred_element_type=jnp.float32,
+    ).astype(g.dtype)
+    return jnp.zeros_like(points), jnp.zeros_like(centers), d_feat
+
+
+_nn_interp_fused.defvjp(_nn_interp_fused_fwd, _nn_interp_fused_bwd)
+
+
 def nearest_neighbor_interpolate(
     points: jnp.ndarray, centers: jnp.ndarray, features: jnp.ndarray
 ) -> jnp.ndarray:
@@ -86,9 +135,22 @@ def nearest_neighbor_interpolate(
     Returns:
       [B, N, C] interpolated features.
     """
+    on_tpu = jax.devices()[0].platform == "tpu"
+    if (
+        on_tpu
+        and features.dtype == jnp.bfloat16
+        and centers.shape[1] >= 3
+        and os.environ.get("P2PB_INTERP_FUSED", "0") == "1"
+    ):
+        # opt-in until TPU-measured (flip the default with the other
+        # round-3 layout knobs once the A/B session confirms)
+        # fused Pallas path: distances + top-3 + weights + gather matmul
+        # in VMEM; the XLA path writes ~2.5 GB of [B, N, M] temporaries
+        # per fp3 call to produce a 19 MB output
+        return _nn_interp_fused(points, centers, features)
     w, idx = three_nn(points, centers)
     w = jax.lax.stop_gradient(w)
-    if jax.devices()[0].platform != "tpu":
+    if not on_tpu:
         neighbors = group(features, idx)  # [B, N, 3, C]
         return jnp.sum(neighbors * w[..., None].astype(neighbors.dtype), axis=2)
 
@@ -98,10 +160,7 @@ def nearest_neighbor_interpolate(
     # transpose matmul (vs. the CUDA atomic scatter,
     # neighbor_interpolate.cu:109-130).
     B, M, C = features.shape
-    iota = jnp.arange(M, dtype=jnp.int32)
-    W = jnp.zeros(idx.shape[:2] + (M,), jnp.float32)
-    for j in range(idx.shape[-1]):
-        W = W + jnp.where(idx[..., j, None] == iota, w[..., j, None], 0.0)
+    W = _sparse_weight_matrix(w, idx, M)
     if features.dtype == jnp.bfloat16:
         out = jnp.einsum(
             "bnm,bmc->bnc",

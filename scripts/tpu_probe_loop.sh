@@ -3,9 +3,11 @@
 # Gentle cadence: a killed client blocks the next lease for minutes,
 # so each attempt gets a long timeout and attempts are well spaced.
 LOG=${1:-/tmp/tpu_probe.log}
+ATTEMPT_TIMEOUT=${2:-900}
+QUIET=${3:-720}
 while true; do
   echo "=== probe $(date -u +%H:%M:%S) ===" >> "$LOG"
-  timeout 600 python - >> "$LOG" 2>&1 <<'EOF'
+  timeout "$ATTEMPT_TIMEOUT" python - >> "$LOG" 2>&1 <<'EOF'
 import time, numpy as np
 t0 = time.time()
 import jax, jax.numpy as jnp
@@ -16,5 +18,5 @@ EOF
   rc=$?
   echo "probe rc=$rc" >> "$LOG"
   if [ "$rc" -eq 0 ]; then echo "TPU BACK at $(date -u +%H:%M:%S)" >> "$LOG"; exit 0; fi
-  sleep 420
+  sleep "$QUIET"
 done

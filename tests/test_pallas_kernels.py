@@ -99,6 +99,62 @@ def test_ball_query_group_pallas_matches_ops(
     )
 
 
+@pytest.mark.parametrize(
+    "B,N,M,C",
+    [
+        (2, 300, 64, 35),
+        (1, 40, 3, 7),     # minimum coarse level
+        (2, 150, 130, 16),  # M > one lane block
+    ],
+)
+def test_three_nn_interpolate_pallas_matches_xla(rng, B, N, M, C):
+    """Fused Pallas 3-NN IDW == the three_nn + bf16 gather composition,
+    forward and feature-gradient (weights are stop-grad both ways)."""
+    import p2p_bridge_tpu.ops.interpolate as interp
+    from p2p_bridge_tpu.ops.pallas.interp_kernel import (
+        three_nn_interpolate_pallas,
+    )
+
+    pts = jnp.asarray(rng.random((B, N, 3)), jnp.float32)
+    cen = jnp.asarray(rng.random((B, M, 3)), jnp.float32)
+    feat = jnp.asarray(rng.normal(size=(B, M, C)), jnp.bfloat16)
+
+    # reference: exact composition the TPU einsum path computes
+    w, idx = interp.three_nn(pts, cen)
+    W = interp._sparse_weight_matrix(w, idx, M)
+    want = jnp.einsum(
+        "bnm,bmc->bnc", W.astype(jnp.bfloat16), feat,
+        preferred_element_type=jnp.float32,
+    )
+
+    got, aux = three_nn_interpolate_pallas(pts, cen, feat, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=2e-2, rtol=2e-2
+    )
+    np.testing.assert_array_equal(
+        np.asarray(aux[..., 3:6], np.int32), np.asarray(idx)
+    )
+    np.testing.assert_allclose(
+        np.asarray(aux[..., :3]), np.asarray(w), atol=1e-5, rtol=1e-4
+    )
+
+    # feature-gradient through the custom VJP vs the einsum composition
+    def fused_loss(f):
+        return jnp.sum(interp._nn_interp_fused(pts, cen, f).astype(
+            jnp.float32) ** 2)
+
+    def ref_loss(f):
+        W_ = jax.lax.stop_gradient(W)
+        y = jnp.einsum("bnm,bmc->bnc", W_.astype(jnp.bfloat16), f,
+                       preferred_element_type=jnp.float32)
+        return jnp.sum(y.astype(jnp.float32) ** 2)
+
+    g_fused = np.asarray(jax.grad(fused_loss)(feat), np.float32)
+    g_ref = np.asarray(jax.grad(ref_loss)(feat), np.float32)
+    scale = np.abs(g_ref).max() + 1e-6
+    np.testing.assert_allclose(g_fused, g_ref, atol=3e-2 * scale)
+
+
 def test_fused_ball_group_custom_vjp_matches_autodiff(rng):
     """The TPU custom backward (scatter-add) against autodiff of the
     XLA gather composition, on shared cotangents."""
