@@ -20,6 +20,7 @@ Layout: grid [B, r, r, r, C], coords float [B, N, 3] in [0, r-1] -> [B, N, C].
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -52,7 +53,9 @@ def trilinear_devoxelize(
         # block gather is ~1.2M row-gathers, ~10x off HBM speed
         from .pallas.devox_kernel import trilinear_devoxelize_pallas
 
-        return trilinear_devoxelize_pallas(grid, coords, r)
+        return trilinear_devoxelize_pallas(
+            grid, coords, r,
+            fold=os.environ.get("P2PB_DEVOX_FOLD", "outside"))
     coords = jax.lax.stop_gradient(coords.astype(jnp.float32))
     lo_f = jnp.floor(coords)
     frac = coords - lo_f  # [B, N, 3]
@@ -176,7 +179,8 @@ def trilinear_devoxelize_with_mean(
         from .pallas.devox_kernel import trilinear_devoxelize_pallas
 
         return trilinear_devoxelize_pallas(
-            grid, coords, r, False, True
+            grid, coords, r, False, True,
+            os.environ.get("P2PB_DEVOX_FOLD", "outside"),
         )
     out = trilinear_devoxelize(grid, coords, r)
     mean = jnp.mean(

@@ -34,10 +34,13 @@ def _round_up(v, m):
 
 
 def _devox_kernel(grid_ref, lo_ref, frac_ref, out_ref, mean_ref=None,
-                  *, r, C, tn):
+                  *, r, C, tn, fold_inside=False):
     """One (batch, point-tile) per grid step.
 
-    grid_ref: [1, r*r, r*C] VMEM — the voxel grid, xy-major.
+    grid_ref: [1, r*r, r*C] VMEM — the voxel grid, xy-major — or the
+      raw [1, r, r, r, C] layout when ``fold_inside`` (the xy/zC fold
+      then happens in VMEM, saving the tiled-layout relayout copy the
+      XLA-side reshape costs on TPU).
     lo_ref:   [1, tn, 3] i32 VMEM — floor voxel coords per point.
     frac_ref: [1, tn, 3] f32 VMEM — fractional parts per point.
     out_ref:  [1, tn, C] VMEM.
@@ -46,11 +49,15 @@ def _devox_kernel(grid_ref, lo_ref, frac_ref, out_ref, mean_ref=None,
       already VMEM-resident (saves the squeeze-excite module a separate
       full-grid HBM reduction pass).
     """
+    if fold_inside:
+        gmat = grid_ref[0].reshape(r * r, r * C)
+    else:
+        gmat = grid_ref[0]
     if mean_ref is not None:
         @pl.when(pl.program_id(1) == 0)
         def _():
             s = jnp.sum(
-                grid_ref[0].astype(jnp.float32), axis=0, keepdims=True
+                gmat.astype(jnp.float32), axis=0, keepdims=True
             )  # [1, r*C]
             acc = jnp.zeros((1, C), jnp.float32)
             for k in range(r):
@@ -82,7 +89,7 @@ def _devox_kernel(grid_ref, lo_ref, frac_ref, out_ref, mean_ref=None,
     w_xy = (wx * wy).astype(jnp.bfloat16)  # [tn, r*r], 4 nonzeros/row
 
     t = jnp.dot(
-        w_xy, grid_ref[0], preferred_element_type=jnp.float32
+        w_xy, gmat, preferred_element_type=jnp.float32
     )  # [tn, r*C]
 
     acc = jnp.zeros((tn, C), jnp.float32)
@@ -94,10 +101,11 @@ def _devox_kernel(grid_ref, lo_ref, frac_ref, out_ref, mean_ref=None,
     out_ref[0] = acc.astype(out_ref.dtype)
 
 
-@partial(jax.jit, static_argnums=(2, 3, 4))
+@partial(jax.jit, static_argnums=(2, 3, 4, 5))
 def trilinear_devoxelize_pallas(
     grid: jnp.ndarray, coords: jnp.ndarray, resolution: int,
     interpret: bool = False, with_mean: bool = False,
+    fold: str = "outside",
 ):
     """Trilinear interpolation of grid features at continuous coords.
 
@@ -107,6 +115,9 @@ def trilinear_devoxelize_pallas(
       resolution: r (static).
       with_mean: also return the per-channel voxel mean [B, C] f32
         (computed in VMEM — the squeeze-excite pooling fused in).
+      fold: "outside" reshapes the grid to [B, r*r, r*C] in XLA (a
+        tiled-layout relayout copy on TPU); "inside" ships the raw
+        5-D block and folds in VMEM.
     Returns:
       [B, N, C] features in grid.dtype; with ``with_mean``, a tuple
       ([B, N, C], [B, C] f32).
@@ -125,8 +136,18 @@ def trilinear_devoxelize_pallas(
         lo = jnp.pad(lo, ((0, 0), (0, n_pad - N), (0, 0)))
         frac = jnp.pad(frac, ((0, 0), (0, n_pad - N), (0, 0)))
 
-    g2 = grid.astype(jnp.bfloat16).reshape(B, r * r, r * C)
-    kernel = partial(_devox_kernel, r=r, C=C, tn=tn)
+    fold_inside = fold == "inside"
+    if fold_inside:
+        g2 = grid.astype(jnp.bfloat16)
+        grid_spec = pl.BlockSpec((1, r, r, r, C),
+                                 lambda b, t: (b, 0, 0, 0, 0),
+                                 memory_space=pltpu.VMEM)
+    else:
+        g2 = grid.astype(jnp.bfloat16).reshape(B, r * r, r * C)
+        grid_spec = pl.BlockSpec((1, r * r, r * C), lambda b, t: (b, 0, 0),
+                                 memory_space=pltpu.VMEM)
+    kernel = partial(_devox_kernel, r=r, C=C, tn=tn,
+                     fold_inside=fold_inside)
     out_specs = pl.BlockSpec((1, tn, C), lambda b, t: (b, t, 0),
                              memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct((B, n_pad, C), grid.dtype)
@@ -144,8 +165,7 @@ def trilinear_devoxelize_pallas(
         kernel,
         grid=(B, n_pad // tn),
         in_specs=[
-            pl.BlockSpec((1, r * r, r * C), lambda b, t: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
+            grid_spec,
             pl.BlockSpec((1, tn, 3), lambda b, t: (b, t, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tn, 3), lambda b, t: (b, t, 0),

@@ -34,7 +34,11 @@ run fwd_pallas_conv P2PB_CONV3D=pallas P2PB_GN_FUSE=1 P2PB_CONV3D_FOLD=inside --
   python scripts/profile_forward.py fwd --out /tmp/op_pconv.json
 run fwd_pallas_conv_nogn P2PB_CONV3D=pallas P2PB_GN_FUSE=0 P2PB_CONV3D_FOLD=inside -- \
   python scripts/profile_forward.py fwd --out /tmp/op_pconv_nogn.json
-run fwd_combo P2PB_CONV3D=pallas P2PB_GN_FUSE=1 P2PB_CONV3D_FOLD=inside P2PB_BQG_ROWS=1 -- \
+run fwd_interp P2PB_INTERP_FUSED=1 -- \
+  python scripts/profile_forward.py fwd --out /tmp/op_interp.json
+run fwd_devox_fold P2PB_DEVOX_FOLD=inside -- \
+  python scripts/profile_forward.py fwd --out /tmp/op_devoxf.json
+run fwd_combo P2PB_CONV3D=pallas P2PB_GN_FUSE=1 P2PB_CONV3D_FOLD=inside P2PB_BQG_ROWS=1 P2PB_INTERP_FUSED=1 P2PB_DEVOX_FOLD=inside -- \
   python scripts/profile_forward.py fwd --out /tmp/op_combo.json
 
 echo "=== DONE $(date -u +%H:%M:%S)" | tee -a "$LOG"

@@ -201,6 +201,13 @@ def test_devox_kernel_matches_block_gather(rng):
     ).astype(np.float32)
     np.testing.assert_allclose(got, want, atol=2e-2, rtol=2e-2)
 
+    # fold="inside": the raw-layout grid block, xy/zC fold in VMEM
+    got_in = np.asarray(
+        trilinear_devoxelize_pallas(grid, coords, r, interpret=True,
+                                    fold="inside")
+    ).astype(np.float32)
+    np.testing.assert_allclose(got_in, want, atol=2e-2, rtol=2e-2)
+
 
 def test_voxelize_scatter_kernel_matches_exact(rng):
     """Pallas scatter voxelize (interpret mode) vs the exact f32 scatter
