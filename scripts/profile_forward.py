@@ -34,35 +34,45 @@ from p2p_bridge_tpu.utils.opstats import device_op_table, peak_flops
 TUNNEL_LATENCY_S = 0.16  # measured axon D2H fixed cost (CLAUDE.md)
 
 
-def build_programs():
+def build_programs(config="PVDS_PUNet", batch=None):
     from p2p_bridge_tpu.models.p2pb import P2PBridge
     from p2p_bridge_tpu.models.unet_pvc import build_unet_from_config
     from p2p_bridge_tpu.utils.config import Config
 
     cfg = Config.load(
-        os.path.join(os.path.dirname(__file__), "..", "configs", "PVDS_PUNet.yaml")
+        os.path.join(os.path.dirname(__file__), "..", "configs",
+                     f"{config}.yaml")
     )
     model = build_unet_from_config(cfg)
     bridge = P2PBridge.from_config(cfg, model)
-    B, N = 73, int(cfg.data.npoints)
+    # default batches: the two bench protocols (73x2048 objects,
+    # 32x4096 room patches)
+    B = batch or (32 if "SNPP" in config else 73)
+    N = int(cfg.data.npoints)
+    fc = int(cfg.model.get("extra_feature_channels", 0) or 0)
 
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.normal(size=(B, N, 3)) * 0.3, jnp.float32)
     t = jnp.full((B,), 0.4, jnp.float32)
+    feat = (jnp.asarray(rng.normal(size=(B, N, fc)), jnp.float32)
+            if fc else None)
 
     init = jax.jit(
         lambda k: model.init(
-            {"params": k}, jnp.zeros((1, N, 3)), jnp.zeros((1,)), None, True
+            {"params": k}, jnp.zeros((1, N, 3)), jnp.zeros((1,)),
+            None if feat is None else jnp.zeros((1, N, fc)), True
         )
     )
     params = init(jax.random.key(0))
-    return cfg, model, bridge, params, x, t
+    return cfg, model, bridge, params, x, t, feat
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("what", nargs="?", default="fwd",
                     choices=["fwd", "sampler"])
+    ap.add_argument("--config", default="PVDS_PUNet")
+    ap.add_argument("--batch", type=int, default=None)
     ap.add_argument("--topk", type=int, default=22)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--out", default=None)
@@ -72,12 +82,13 @@ def main():
     assert dev.platform == "tpu", f"needs the TPU (got {dev.platform})"
     peak = peak_flops(dev)
 
-    cfg, model, bridge, params, x, t = build_programs()
+    cfg, model, bridge, params, x, t, feat = build_programs(
+        args.config, args.batch)
     B, N = x.shape[0], x.shape[1]
 
     if args.what == "fwd":
         def one(p, x, t):
-            return model.apply(p, x, t, None, True)
+            return model.apply(p, x, t, feat, True)
     else:
         def one(p, x, t):
             return bridge.sample(p, x, steps=5, clip_denoise=False,

@@ -41,4 +41,9 @@ run fwd_devox_fold P2PB_DEVOX_FOLD=inside -- \
 run fwd_combo P2PB_CONV3D=pallas P2PB_GN_FUSE=1 P2PB_CONV3D_FOLD=inside P2PB_BQG_ROWS=1 P2PB_INTERP_FUSED=1 P2PB_DEVOX_FOLD=inside -- \
   python scripts/profile_forward.py fwd --out /tmp/op_combo.json
 
+run room_baseline -- \
+  python scripts/profile_forward.py fwd --config PVDL_SNPP --out /tmp/op_room_base.json
+run room_combo P2PB_CONV3D=pallas P2PB_GN_FUSE=1 P2PB_CONV3D_FOLD=inside P2PB_BQG_ROWS=1 P2PB_INTERP_FUSED=1 P2PB_DEVOX_FOLD=inside -- \
+  python scripts/profile_forward.py fwd --config PVDL_SNPP --out /tmp/op_room_combo.json
+
 echo "=== DONE $(date -u +%H:%M:%S)" | tee -a "$LOG"
