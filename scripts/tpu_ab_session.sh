@@ -24,22 +24,24 @@ run() {  # run NAME ENVVARS... -- CMD...
   fi
 }
 
-run conv_shapes -- python scripts/bench_conv3d.py
-
+# Order: known-good baseline first; the Pallas-conv runs LAST — the
+# previous session's TPU-worker death coincided with a conv A/B, so the
+# riskiest programs go after every measurement that doesn't need them.
 run fwd_baseline -- \
   python scripts/profile_forward.py fwd --out /tmp/op_base.json
+run fwd_interp P2PB_INTERP_FUSED=1 -- \
+  python scripts/profile_forward.py fwd --out /tmp/op_interp.json
+run fwd_devox_fold P2PB_DEVOX_FOLD=inside -- \
+  python scripts/profile_forward.py fwd --out /tmp/op_devoxf.json
 run fwd_bqg_rows P2PB_BQG_ROWS=1 -- \
   python scripts/profile_forward.py fwd --out /tmp/op_rows.json
 run fwd_pallas_conv P2PB_CONV3D=pallas P2PB_GN_FUSE=1 P2PB_CONV3D_FOLD=inside -- \
   python scripts/profile_forward.py fwd --out /tmp/op_pconv.json
 run fwd_pallas_conv_nogn P2PB_CONV3D=pallas P2PB_GN_FUSE=0 P2PB_CONV3D_FOLD=inside -- \
   python scripts/profile_forward.py fwd --out /tmp/op_pconv_nogn.json
-run fwd_interp P2PB_INTERP_FUSED=1 -- \
-  python scripts/profile_forward.py fwd --out /tmp/op_interp.json
-run fwd_devox_fold P2PB_DEVOX_FOLD=inside -- \
-  python scripts/profile_forward.py fwd --out /tmp/op_devoxf.json
 run fwd_combo P2PB_CONV3D=pallas P2PB_GN_FUSE=1 P2PB_CONV3D_FOLD=inside P2PB_BQG_ROWS=1 P2PB_INTERP_FUSED=1 P2PB_DEVOX_FOLD=inside -- \
   python scripts/profile_forward.py fwd --out /tmp/op_combo.json
+run conv_shapes -- python scripts/bench_conv3d.py
 
 run room_baseline -- \
   python scripts/profile_forward.py fwd --config PVDL_SNPP --out /tmp/op_room_base.json
