@@ -139,9 +139,14 @@ def _auction_emd_xla(
     return jax.vmap(one_batch)(d2)
 
 
+@partial(jax.jit, static_argnames=("eps", "iters"))
 def align_clean_to_noisy(noisy: jnp.ndarray, clean: jnp.ndarray, eps=0.005, iters=50):
     """Reorder ``clean`` so clean[i] matches noisy[i] (train.py:73-85 +
     dataloaders/punet.py:310-318): auction-match noisy -> clean, then
-    gather clean by the assignment."""
+    gather clean by the assignment.
+
+    Jitted end to end so host callers (calculate_emd_exact, eval paths)
+    never run the gather eagerly — eager ops remote-compile per-op on
+    the axon backend (CLAUDE.md)."""
     _, assignment = auction_emd(noisy, clean, eps=eps, iters=iters)
     return jnp.take_along_axis(clean, assignment[..., None].astype(jnp.int32), axis=1)
