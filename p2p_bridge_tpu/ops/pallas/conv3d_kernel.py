@@ -74,8 +74,8 @@ def _kernel(xg_ref, k_ref, b_ref, *rest,
              saving the HBM relayout copy the outside reshape costs).
     k_ref:   [9, K, 128] — block-banded kstack weights, K = (P+2)*cpad.
     b_ref:   [1, 128] f32 — bias tiled over the P output slots.
-    rest:    [gamma_ref, beta_ref] (each [1, 128] f32, per-cloud affine
-             tiled over the P slots) when ``gn_groups`` > 0, then
+    rest:    [gamma_ref, beta_ref] (each [1, 1, 128] f32, per-cloud
+             affine tiled over the P slots) when ``gn_groups`` > 0, then
              out_ref, scratch_ref.
     out_ref: [1, R, R, Zg, 128], or [1, R, R, Z, cout] when folding.
     scratch: [R+2, R+2, Zg, K] — zero-bordered slab-stacked input.
@@ -152,8 +152,8 @@ def _kernel(xg_ref, k_ref, b_ref, *rest,
         mean = jnp.dot(s1, same, preferred_element_type=jnp.float32) / cnt
         ex2 = jnp.dot(s2, same, preferred_element_type=jnp.float32) / cnt
         rstd = jax.lax.rsqrt(ex2 - mean * mean + gn_eps)
-        ga = gamma_ref[...] * rstd                      # [1, 128]
-        be = beta_ref[...] - mean * ga
+        ga = gamma_ref[0] * rstd                        # [1, 128]
+        be = beta_ref[0] - mean * ga
         acc = acc * ga + be
         if gn_act:
             acc = acc * jax.nn.sigmoid(acc)  # swish
@@ -223,14 +223,17 @@ def _conv_fwd(x, kernel, bias, gamma, beta, interpret, fold,
     ]
     operands = [xg, kw, bp]
     if gn_groups:
-        # per-cloud affine rows, channels tiled over the P slots
+        # per-cloud affine rows, channels tiled over the P slots; the
+        # singleton middle axis keeps the last-two block dims equal to
+        # the array dims (Mosaic rejects a (1, 128) block over (B, 128))
         gb = jnp.broadcast_to(gamma.astype(jnp.float32), (B, cout))
         bb = jnp.broadcast_to(beta.astype(jnp.float32), (B, cout))
-        operands += [jnp.tile(gb, (1, P)), jnp.tile(bb, (1, P))]
+        operands += [jnp.tile(gb, (1, P)).reshape(B, 1, _LANES),
+                     jnp.tile(bb, (1, P)).reshape(B, 1, _LANES)]
         in_specs += [
-            pl.BlockSpec((1, _LANES), lambda b: (b, 0),
+            pl.BlockSpec((1, 1, _LANES), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _LANES), lambda b: (b, 0),
+            pl.BlockSpec((1, 1, _LANES), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ]
 

@@ -9,6 +9,7 @@ ZPackConv3d policy (models/modules.py) and the BASELINE.md roofline.
 import os
 import sys
 import time
+from functools import partial
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
@@ -27,17 +28,24 @@ SHAPES = [  # (cin, cout, R, Z) from the PVDS_PUNet census
     (64, 64, 16, 16),   # sa1
     (128, 64, 16, 16),  # sa1
 ]
-MODES = ["std", "zpack", "pallas/outside", "pallas/inside",
-         "std+gn", "zpack+gn", "pallas/inside+gn"]
+# pallas/inside dropped: Mosaic rejects the in-kernel z-fold reshape
+# (unsupported shape cast, A/B session 2026-08-18) — fold stays outside.
+MODES = ["std", "zpack", "pallas/outside",
+         "std+gn", "zpack+gn", "pallas/outside+gn"]
 
 
 def timed(fn, x):
-    jfn = jax.jit(fn)
-    np.asarray(jfn(x))  # warm compile + first run
-    t0 = time.time()
-    np.asarray(jfn(x))
-    wall = time.time() - t0
-    return (wall - 0.16) / K * 1000.0
+    # Two scan lengths, differenced: cancels the (variable) tunnel
+    # round-trip exactly instead of assuming a fixed 0.16 s, which
+    # produced negative ms in the first A/B session.
+    walls = []
+    for k in (K, 5 * K):
+        jfn = jax.jit(partial(fn, steps=k))
+        np.asarray(jfn(x))  # warm compile + first run
+        t0 = time.time()
+        np.asarray(jfn(x))
+        walls.append(time.time() - t0)
+    return (walls[1] - walls[0]) / (4 * K) * 1000.0
 
 
 for cin, cout, R, Z in SHAPES:
@@ -62,8 +70,8 @@ for cin, cout, R, Z in SHAPES:
             y = m.apply(params, c + i.astype(c.dtype) * 1e-6, gn=gn)
             return c, jnp.mean(y, axis=(1, 2))[:, None, None, :]
 
-        def scanned(xx, m=m, params=params):
-            _, ys = jax.lax.scan(step, xx, jnp.arange(K))
+        def scanned(xx, steps=K, step=step):
+            _, ys = jax.lax.scan(step, xx, jnp.arange(steps))
             return ys
 
         try:
@@ -71,4 +79,7 @@ for cin, cout, R, Z in SHAPES:
             row.append(f"{spec}={ms:6.2f}ms")
         except Exception as e:  # noqa: BLE001
             row.append(f"{spec}=FAIL({type(e).__name__})")
+            msg = " ".join(str(e).split())[:300]
+            print(f"FAIL {spec} cin={cin} cout={cout} r={R}: {msg}",
+                  file=sys.stderr, flush=True)
     print("  ".join(row), flush=True)
