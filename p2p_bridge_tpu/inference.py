@@ -108,6 +108,7 @@ def patch_based_denoise_batch(
     clip_denoise: bool = False,
     save_intermediate: bool = False,
     recombine_mode: str = "exact",
+    as_numpy: bool = True,
 ) -> Tuple[np.ndarray, Optional[np.ndarray]]:
     """Denoise a batch of normalized object clouds.
 
@@ -117,6 +118,10 @@ def patch_based_denoise_batch(
       recombine_mode: "exact" (reference semantics: one global FPS over
         the S*K denoised points) or "bucketed" (per-patch FPS quota,
         ~30x faster; see _build_recombine_bucketed).
+      as_numpy: pull results to host (default). False returns the
+        denoised clouds as a device array WITHOUT blocking on the
+        transfer, so back-to-back calls pipeline via async dispatch
+        (steady-state serving / bench.py).
     Returns:
       (denoised [O, N, 3], steps [O, T, N, 3] or None)
     """
@@ -156,6 +161,8 @@ def patch_based_denoise_batch(
         T = int(chains[0].shape[0])
         stacked = jnp.concatenate(chains, axis=0)  # [O*T, S*K, 3]
         steps_out = np.asarray(recombine(stacked)).reshape(O, T, N, 3)
+    if not as_numpy:
+        return denoised, steps_out
     return np.asarray(denoised), steps_out
 
 

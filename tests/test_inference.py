@@ -85,3 +85,24 @@ def test_patch_based_denoise_batch_multi_object(rng):
     for o in range(3):
         d, _ = cKDTree(pcls[o]).query(out[o], k=1)
         assert d.max() < 1e-5, o
+
+
+def test_patch_based_denoise_batch_device_output(rng):
+    """as_numpy=False returns the denoised clouds as a device array
+    without the blocking host pull (bench.py steady-state path) and
+    matches the numpy-returning call exactly."""
+    import jax
+
+    from p2p_bridge_tpu.inference import patch_based_denoise_batch
+
+    pcls = rng.normal(size=(2, 600, 3)).astype(np.float32)
+    pcls /= np.linalg.norm(pcls, axis=-1, keepdims=True).max(
+        axis=1, keepdims=True
+    )
+    kw = dict(patch_size=128, seed_k=3, steps=2)
+    dev, _ = patch_based_denoise_batch(
+        IdentityBridge(), None, pcls, as_numpy=False, **kw
+    )
+    assert isinstance(dev, jax.Array)
+    out, _ = patch_based_denoise_batch(IdentityBridge(), None, pcls, **kw)
+    np.testing.assert_array_equal(np.asarray(dev), out)
