@@ -26,7 +26,9 @@ while true; do
   fi
   next=$((last + SEG)); [ "$next" -gt "$TARGET" ] && next=$TARGET
   echo "=== segment $last -> $next ($(date -u +%H:%M:%S)) ===" | tee -a "$LOG"
-  python train.py --model_path "$RUN_DIR"/ --save_dir "$RUN_DIR" \
+  # train.py saves to <save_dir>/<cfg.name>; RUN_DIR is that full path
+  # (e.g. runs/quality/PVDS_PUNet), so hand its parent to --save_dir
+  python train.py --model_path "$RUN_DIR"/ --save_dir "$(dirname "$RUN_DIR")" \
     --training.steps "$next" >> "$LOG" 2>&1
   rc=$?
   echo "segment rc=$rc" | tee -a "$LOG"
