@@ -17,6 +17,7 @@ import os
 import numpy as np
 
 from p2p_bridge_tpu.models import model_loader
+from p2p_bridge_tpu.parallel.mesh import make_data_mesh
 from p2p_bridge_tpu.rooms import denoise_room
 from p2p_bridge_tpu.utils.config import apply_dot_overrides
 from p2p_bridge_tpu.utils.io import load_point_cloud, write_ply
@@ -44,6 +45,9 @@ def parse_args():
                              "denoise_room.py:39-69,163-171, shipped "
                              "hardcoded off there).")
     parser.add_argument("--batch_size", type=int, default=32)
+    parser.add_argument("--shard_patches", action="store_true",
+                        help="Shard each patch batch over all attached "
+                        "devices (SPMD inference; reference is 1-GPU).")
     parser.add_argument("--local_rank", type=int, default=0)
     parser.add_argument("--gpu", type=str, default="")
     parser.add_argument("--distribution_type", default="none")
@@ -126,6 +130,7 @@ def main():
         filter_outliers=cfg.get("filter_outliers", False),
         return_steps=cfg.intermediate,
         seed=cfg.seed,
+        mesh=(make_data_mesh() if cfg.get("shard_patches") else None),
     )
 
     os.makedirs(os.path.dirname(out_path), exist_ok=True)

@@ -21,6 +21,7 @@ from __future__ import annotations
 import logging
 from typing import Dict, List, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from scipy.spatial import cKDTree
@@ -103,9 +104,16 @@ def denoise_patch_batch(
     use_feat: bool = False,
     return_steps: bool = False,
     filtering: bool = False,
+    mesh=None,
 ) -> Tuple[np.ndarray, Optional[np.ndarray]]:
     """Normalize, sample, denormalize a [B, S, 3] patch batch
     (reference denoise_room.py:115-178).
+
+    mesh: optional jax.sharding.Mesh — the patch batch is placed
+    batch-axis-sharded over its "data" axis, so the sampler program runs
+    SPMD across chips (patches are embarrassingly parallel, SURVEY §5;
+    the reference has no multi-GPU inference). ``params`` must already
+    be replicated on the mesh (denoise_room does this).
 
     filtering=True drops the 1% of denoised points per patch farthest
     from the (normalized) input patch before un-normalizing, and
@@ -124,13 +132,15 @@ def denoise_patch_batch(
     if use_feat and patch_feat is not None:
         x_cond = patch_feat if x_cond is None else np.concatenate([x_cond, patch_feat], -1)
 
-    out = bridge.sample(
-        params,
-        jnp.asarray(patch),
-        jnp.asarray(x_cond) if x_cond is not None else None,
-        steps=steps,
-        log_count=steps,
-    )
+    xb = jnp.asarray(patch)
+    cb = jnp.asarray(x_cond) if x_cond is not None else None
+    if mesh is not None:
+        from .parallel.mesh import batch_sharding
+
+        xb = jax.device_put(xb, batch_sharding(mesh))
+        if cb is not None:
+            cb = jax.device_put(cb, batch_sharding(mesh))
+    out = bridge.sample(params, xb, cb, steps=steps, log_count=steps)
     if filtering:
         n_out = int(patch.shape[1] * 0.01)
         x_pred = np.asarray(out["x_pred"])
@@ -212,12 +222,18 @@ def denoise_room(
     return_steps: bool = False,
     filter_outliers: bool = False,
     seed: int = 42,
+    mesh=None,
 ) -> Dict[str, np.ndarray]:
     """Full room pipeline (reference denoise_room.py:424-573).
 
     filter_outliers enables the per-patch 1% outlier filter
     (reference :39-69,163-171,508-513); the filtered points' room
-    indices are dropped from the overlap average."""
+    indices are dropped from the overlap average.
+
+    mesh: optional jax.sharding.Mesh to shard each patch batch over its
+    "data" axis — one sampler program SPMD across chips (the reference
+    parallelizes training only; room inference is single-GPU there).
+    batch_size must divide evenly over the mesh."""
     if return_steps and filter_outliers:
         # the per-patch filter drops points, so fixed-shape per-step
         # accumulation is impossible; without this the "steps" output
@@ -227,6 +243,16 @@ def denoise_room(
             "disabling intermediate-step outputs"
         )
         return_steps = False
+    if mesh is not None:
+        n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+        if batch_size % n_dev:
+            raise ValueError(
+                f"batch_size {batch_size} must divide over the "
+                f"{n_dev}-device mesh"
+            )
+        from .parallel.mesh import replicated
+
+        params = jax.device_put(params, replicated(mesh))
     rng = np.random.default_rng(seed)
     n_seeds = int(np.ceil(room_points.shape[0] / patch_size) * k)
     logger.info("Room: %d points, %d seed patches, radius %.2f",
@@ -261,7 +287,7 @@ def denoise_room(
             rgb[sel] if rgb is not None else None,
             feats[sel] if feats is not None else None,
             use_rgb, use_feat, return_steps and not filter_outliers,
-            filtering=filter_outliers,
+            filtering=filter_outliers, mesh=mesh,
         )
         valid = e - s
         if filter_outliers:

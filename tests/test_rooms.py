@@ -149,3 +149,38 @@ def test_denoise_room_filter_outliers(rng):
     # with filtering the result stays near the room
     err = np.linalg.norm(out["denoised"] - room, axis=1)
     assert np.median(err) < 0.05
+
+
+def test_denoise_room_sharded_matches_single_device(rng):
+    """mesh= shards each patch batch over the 8 virtual devices and
+    reproduces the single-device result exactly (patches are
+    embarrassingly parallel; the reference has no multi-GPU inference)."""
+    import jax.numpy as jnp
+
+    from p2p_bridge_tpu.models.p2pb import P2PBridge
+    from p2p_bridge_tpu.models.schedules import BridgeSchedule
+    from p2p_bridge_tpu.parallel.mesh import make_data_mesh
+
+    class LinearNet:
+        def apply(self, params, xt, noise_levels, x_cond=None,
+                  deterministic=True, rngs=None):
+            return params["w"] * xt + params["b"]
+
+    sched = BridgeSchedule.create(timesteps=50)
+    bridge = P2PBridge(model=LinearNet(), schedule=sched, ot_ode=True)
+    params = {"w": jnp.float32(0.9), "b": jnp.float32(0.01)}
+
+    room = rng.normal(size=(500, 3)).astype(np.float32)
+    kw = dict(steps=2, k=2, patch_size=64, batch_size=8, query_radius=0.8,
+              seed=3)
+    single = denoise_room(bridge, params, room, **kw)
+    mesh = make_data_mesh()
+    sharded = denoise_room(bridge, params, room, mesh=mesh, **kw)
+    np.testing.assert_allclose(
+        sharded["denoised"], single["denoised"], atol=1e-6
+    )
+
+    with pytest.raises(ValueError, match="divide"):
+        denoise_room(bridge, params, room, mesh=mesh,
+                     steps=2, k=2, patch_size=64, batch_size=6,
+                     query_radius=0.8)
