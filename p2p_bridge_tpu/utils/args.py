@@ -62,7 +62,13 @@ def parse_args(argv: Optional[List[str]] = None) -> Config:
     else:
         raise ValueError("config file must be specified or model path must be specified")
 
-    cfg.merge(vars(args))
+    merged = dict(vars(args))
+    if not merged.get("name"):
+        # don't let the empty CLI default clobber the checkpoint
+        # opt.yaml's name on resume — output_dir = save_dir/name would
+        # silently collapse to save_dir and checkpoints land one level up
+        merged.pop("name", None)
+    cfg.merge(merged)
     apply_dot_overrides(cfg, remaining)
 
     if cfg.get("name", "") == "" and cfg.get("config"):

@@ -49,3 +49,32 @@ def test_set_dotted_and_select():
     cfg.set_dotted("a.b.c", 5)
     assert cfg.select("a.b.c") == 5
     assert cfg.select("a.b.missing", default=None) is None
+
+
+def test_parse_args_resume_preserves_name(tmp_path):
+    """Resuming via --model_path must keep the checkpoint opt.yaml's
+    name: the empty --name CLI default used to clobber it, collapsing
+    output_dir = save_dir/name to save_dir (checkpoints then land one
+    level up and the segments driver never sees them)."""
+    import os
+
+    from p2p_bridge_tpu.utils.args import parse_args
+
+    run = tmp_path / "quality" / "PVDS_PUNet"
+    run.mkdir(parents=True)
+    (run / "opt.yaml").write_text(
+        "name: PVDS_PUNet\n"
+        "training:\n  steps: 10\n"
+        "diffusion:\n  timesteps: 10\n  sampling_timesteps: 2\n"
+        "  sampling_strategy: DDPM\n"
+    )
+    cfg = parse_args(["--model_path", str(run) + "/",
+                      "--save_dir", str(tmp_path / "quality")])
+    assert cfg.name == "PVDS_PUNet"
+    assert cfg.output_dir == os.path.join(str(tmp_path / "quality"),
+                                          "PVDS_PUNet")
+    # explicit --name still wins
+    cfg2 = parse_args(["--model_path", str(run) + "/",
+                       "--save_dir", str(tmp_path / "quality"),
+                       "--name", "other"])
+    assert cfg2.name == "other"
