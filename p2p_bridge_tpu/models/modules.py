@@ -313,11 +313,33 @@ def pick_conv3d_mode(cin: int, cout: int, Z: int,
         return mode
     env = os.environ.get("P2PB_CONV3D", "")
     if env:
-        return env
+        # either a bare mode ("zsplit") or per-shape rules
+        # ("35x32=zsplit,64x64=zpack" with an optional bare default)
+        if "=" not in env:
+            return env
+        default = None
+        for rule in env.split(","):
+            rule = rule.strip()
+            if not rule:
+                continue
+            if "=" in rule:
+                shape, m = rule.split("=")
+                want = shape.strip().split("x")
+                if int(want[0]) == cin and int(want[1]) == cout:
+                    return m.strip()
+            else:
+                default = rule
+        if default:
+            return default
     if jax.devices()[0].platform != "tpu":
         return "std"
     if cin == 64 and cout == 64 and Z % 2 == 0 and Z >= 4:
         return "zpack"
+    if cin > 32 and cin % 32 != 0:
+        # ragged Cin (e.g. sa0's 35->32): XLA's conv at Cin=35 runs ~3x
+        # slower than Cin=32 (layout/pad pathology); the aligned+remainder
+        # split measured 6.46 -> 2.74 ms in-model (round 4, v5e)
+        return "csplit"
     return "std"
 
 
@@ -439,6 +461,48 @@ class ZPackConv3d(nn.Module):
             y = jax.lax.conv_general_dilated(
                 x, kernel, (1, 1, 1), "SAME",
                 dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            )
+            return epilogue(y + bias)
+
+        if mode == "csplit":
+            # ragged-Cin split: XLA's conv3d at Cin=35 runs ~3x slower
+            # than at Cin=32 (layout/padding pathology); compute the
+            # aligned-channel conv and the small remainder conv
+            # separately and add.
+            c0 = (cin // 32) * 32
+            y = jax.lax.conv_general_dilated(
+                x[..., :c0], kernel[:, :, :, :c0], (1, 1, 1), "SAME",
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            ) + jax.lax.conv_general_dilated(
+                x[..., c0:], kernel[:, :, :, c0:], (1, 1, 1), "SAME",
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            )
+            return epilogue(y + bias)
+
+        if mode == "zsplit":
+            # z-split: move the 3 z taps into the OUTPUT channel dim —
+            # one [3,3,1,Cin,3*Cout] conv (N = 3*Cout MXU lanes instead
+            # of Cout, structural FLOPs 1.0x) producing partial sums
+            #   P[..., z, (dz, co)] = sum_{dx,dy,ci} x[.., z, ci] K[dz]
+            # then out[z] = P[z-1, dz=0] + P[z, dz=1] + P[z+1, dz=2],
+            # a fused slice+pad+add. Lifts the lane-bound shapes
+            # (Cout=32: 25% -> 75% lane occupancy) at the cost of a
+            # 3x-Cout intermediate round-tripping HBM.
+            w2 = kernel.transpose(0, 1, 3, 2, 4).reshape(
+                3, 3, 1, cin, 3 * cout
+            )
+            P3 = jax.lax.conv_general_dilated(
+                x, w2, (1, 1, 1), [(1, 1), (1, 1), (0, 0)],
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            )  # [B, X, Y, Z, 3*Cout]
+            p0 = P3[..., :cout]
+            p1 = P3[..., cout:2 * cout]
+            p2 = P3[..., 2 * cout:]
+            zpad = ((0, 0), (0, 0), (0, 0))
+            y = (
+                p1
+                + jnp.pad(p0[:, :, :, :-1], zpad + ((1, 0), (0, 0)))
+                + jnp.pad(p2[:, :, :, 1:], zpad + ((0, 1), (0, 0)))
             )
             return epilogue(y + bias)
 

@@ -216,6 +216,77 @@ def test_kstack_conv_matches_standard():
         np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
 
 
+def test_csplit_zsplit_conv_matches_standard():
+    """Round-4 XLA reformulations are the same math as the standard
+    conv3d: csplit (ragged Cin split into aligned+remainder convs, the
+    TPU default for Cin % 32 != 0 — measured 6.46 -> 2.74 ms on the sa0
+    35->32 conv) and zsplit (z taps moved to the output-channel dim +
+    fused shift-add; measured net-negative in-model, kept opt-in)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from p2p_bridge_tpu.models.modules import ZPackConv3d
+
+    rng = np.random.default_rng(15)
+    for mode in ("csplit", "zsplit"):
+        for cin, cout, Z in ((35, 32, 8), (64, 64, 6), (35, 32, 7)):
+            x = jnp.asarray(rng.normal(size=(2, 5, 7, Z, cin)), jnp.float32)
+            std = ZPackConv3d(cout, mode="std")
+            params = std.init(jax.random.key(0), x)
+            want = np.asarray(std.apply(params, x))
+            got = np.asarray(ZPackConv3d(cout, mode=mode).apply(params, x))
+            np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-5)
+
+
+def test_csplit_conv_gradients_match_standard():
+    """csplit sits on the TPU training path (default for the ragged sa0
+    conv), so autodiff through it must match the standard conv."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from p2p_bridge_tpu.models.modules import ZPackConv3d
+
+    rng = np.random.default_rng(16)
+    x = jnp.asarray(rng.normal(size=(2, 4, 4, 8, 35)), jnp.float32)
+    std = ZPackConv3d(32, mode="std")
+    params = std.init(jax.random.key(0), x)
+
+    def grads(mode):
+        def f(p, xx):
+            y = ZPackConv3d(32, mode=mode).apply(p, xx)
+            return jnp.sum(y * y)
+        return jax.grad(f, argnums=(0, 1))(params, x)
+
+    g_std, gx_std = grads("std")
+    g_c, gx_c = grads("csplit")
+    np.testing.assert_allclose(np.asarray(gx_c), np.asarray(gx_std),
+                               atol=1e-3, rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(g_std), jax.tree.leaves(g_c)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=1e-3, rtol=1e-4)
+
+
+def test_conv3d_mode_env_rules(monkeypatch):
+    """P2PB_CONV3D accepts per-shape rules with an optional bare
+    default, alongside the original bare-mode form."""
+    from p2p_bridge_tpu.models.modules import pick_conv3d_mode
+
+    monkeypatch.setenv("P2PB_CONV3D", "kstack")
+    assert pick_conv3d_mode(35, 32, 8) == "kstack"
+
+    monkeypatch.setenv("P2PB_CONV3D", "35x32=zsplit, 64x64=zpack, std")
+    assert pick_conv3d_mode(35, 32, 8) == "zsplit"
+    assert pick_conv3d_mode(64, 64, 8) == "zpack"
+    assert pick_conv3d_mode(32, 32, 8) == "std"
+
+    monkeypatch.setenv("P2PB_CONV3D", "35x32=csplit")
+    assert pick_conv3d_mode(35, 32, 8) == "csplit"
+    # no default rule -> fall through to the measured policy (std on CPU)
+    assert pick_conv3d_mode(32, 32, 8) == "std"
+
+
 def test_kstack_conv_gradients_match_standard():
     """kstack is pure pad/slice/concat/conv, so autodiff through it must
     reproduce the standard conv's parameter and input gradients (the
