@@ -27,6 +27,75 @@ import jax
 import jax.numpy as jnp
 
 
+def _devox_window(resolution: int) -> int:
+    """x-window width for the sorted/windowed TPU kernel (0 = off).
+
+    MEASURED-NEGATIVE as a default (round 4, B=73 N=2048 fwd on v5e):
+    the windowed kernel itself is faster (devox 8.5 -> 6.8 ms; the
+    one-hot matmul contracts a [win*r, r*C] slab instead of the full
+    grid) but the x-sort / un-sort permutation applies cost ~7 ms of
+    HBM-bound row-gathers (take_along_axis at 9-16 GB/s), for a net
+    whole-forward regression 60.5 -> 66.8 ms. Kept opt-in for callers
+    whose points are ALREADY x-sorted (no permutation needed).
+    Env override: P2PB_DEVOX_WIN=<cols> (0 disables; default 0).
+    """
+    env = os.environ.get("P2PB_DEVOX_WIN", "")
+    if env:
+        return int(env)
+    return 0
+
+
+def _devox_windowed_tpu(grid, coords, resolution, with_mean,
+                        interpret=False):
+    """Exact windowed devoxelization: sort points by x-column, run the
+    windowed Pallas kernel, un-sort, and recompute the (rare) points
+    whose corners fell outside their tile's window with a small
+    full-window pass. See ops/pallas/devox_kernel.py for the kernel.
+    """
+    from .pallas.devox_kernel import trilinear_devoxelize_pallas
+
+    r = resolution
+    B, N = coords.shape[0], coords.shape[1]
+    win = _devox_window(r)
+    coords = jax.lax.stop_gradient(coords.astype(jnp.float32))
+    if not win or win >= r or N < 512:
+        out = trilinear_devoxelize_pallas(
+            grid, coords, r, interpret, with_mean,
+            os.environ.get("P2PB_DEVOX_FOLD", "outside"))
+        return out
+
+    ix = jnp.clip(jnp.floor(coords[..., 0]).astype(jnp.int32), 0, r - 1)
+    iota = jnp.broadcast_to(
+        jnp.arange(N, dtype=jnp.int32), (B, N))
+    _, perm = jax.lax.sort_key_val(ix, iota, dimension=1)
+    coords_s = jnp.take_along_axis(coords, perm[..., None], axis=1)
+    res = trilinear_devoxelize_pallas(
+        grid, coords_s, r, interpret, with_mean, "outside", win)
+    out_s, flags_s = res[0], res[1]
+    # un-sort via the inverse permutation (gather beats scatter on TPU)
+    _, inv = jax.lax.sort_key_val(perm, iota, dimension=1)
+    out = jnp.take_along_axis(out_s, inv[..., None], axis=1)
+    flag = jnp.take_along_axis(flags_s, inv, axis=1) > 0
+
+    # exact residual: recompute up to R flagged points per cloud with a
+    # full-window pass (flag count is ~0 on sorted real data; R bounds
+    # the adversarial case — beyond R the windowed result would be kept,
+    # so R is sized to the worst tile)
+    R = 256
+    score = flag.astype(jnp.int32) * (N + 1) - iota
+    _, ridx = jax.lax.top_k(score, R)
+    rcoords = jnp.take_along_axis(coords, ridx[..., None], axis=1)
+    rout = trilinear_devoxelize_pallas(grid, rcoords, r, interpret)
+    rmask = jnp.take_along_axis(flag, ridx, axis=1)
+    cur = jnp.take_along_axis(out, ridx[..., None], axis=1)
+    new = jnp.where(rmask[..., None], rout, cur)
+    b_ix = jnp.arange(B, dtype=jnp.int32)[:, None]
+    out = out.at[b_ix, ridx].set(new)
+    if with_mean:
+        return out, res[2]
+    return out
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(2,))
 def trilinear_devoxelize(
     grid: jnp.ndarray, coords: jnp.ndarray, resolution: int
@@ -50,12 +119,9 @@ def trilinear_devoxelize(
     ):
         # VMEM-resident MXU gather (same bf16 weight precision as the
         # block-gather path below applies to bf16 grids); the XLA
-        # block gather is ~1.2M row-gathers, ~10x off HBM speed
-        from .pallas.devox_kernel import trilinear_devoxelize_pallas
-
-        return trilinear_devoxelize_pallas(
-            grid, coords, r,
-            fold=os.environ.get("P2PB_DEVOX_FOLD", "outside"))
+        # block gather is ~1.2M row-gathers, ~10x off HBM speed.
+        # Round 4: x-sorted windowed contraction (_devox_windowed_tpu)
+        return _devox_windowed_tpu(grid, coords, r, with_mean=False)
     coords = jax.lax.stop_gradient(coords.astype(jnp.float32))
     lo_f = jnp.floor(coords)
     frac = coords - lo_f  # [B, N, 3]
@@ -176,12 +242,7 @@ def trilinear_devoxelize_with_mean(
         and grid.dtype == jnp.bfloat16
         and r * r * r * C * 2 <= 8 * 2**20
     ):
-        from .pallas.devox_kernel import trilinear_devoxelize_pallas
-
-        return trilinear_devoxelize_pallas(
-            grid, coords, r, False, True,
-            os.environ.get("P2PB_DEVOX_FOLD", "outside"),
-        )
+        return _devox_windowed_tpu(grid, coords, r, with_mean=True)
     out = trilinear_devoxelize(grid, coords, r)
     mean = jnp.mean(
         grid.astype(jnp.float32), axis=(1, 2, 3)

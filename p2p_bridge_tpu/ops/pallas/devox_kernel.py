@@ -33,8 +33,8 @@ def _round_up(v, m):
     return -(-v // m) * m
 
 
-def _devox_kernel(grid_ref, lo_ref, frac_ref, out_ref, mean_ref=None,
-                  *, r, C, tn, fold_inside=False):
+def _devox_kernel(grid_ref, lo_ref, frac_ref, out_ref, flag_ref=None,
+                  mean_ref=None, *, r, C, tn, win=None, fold_inside=False):
     """One (batch, point-tile) per grid step.
 
     grid_ref: [1, r*r, r*C] VMEM — the voxel grid, xy-major — or the
@@ -44,10 +44,18 @@ def _devox_kernel(grid_ref, lo_ref, frac_ref, out_ref, mean_ref=None,
     lo_ref:   [1, tn, 3] i32 VMEM — floor voxel coords per point.
     frac_ref: [1, tn, 3] f32 VMEM — fractional parts per point.
     out_ref:  [1, tn, C] VMEM.
+    flag_ref: [1, tn, 1] i32 VMEM (windowed mode) — 1 where the point's
+      x-corners fall outside this tile's window (output invalid there;
+      the wrapper recomputes those via a full-window residual pass).
     mean_ref: [1, 1, C] f32 VMEM (optional) — per-channel mean over all
       r^3 voxels, computed once per batch element while the grid is
       already VMEM-resident (saves the squeeze-excite module a separate
       full-grid HBM reduction pass).
+    win: static x-window width (columns). When set (< r), the xy
+      contraction runs over a [win*r, r*C] dynamic slab starting at this
+      tile's min x-column instead of the full [r*r, r*C] grid — callers
+      sort points by x-column so a tile spans few columns, cutting the
+      one-hot matmul's structural FLOPs by r/win (r=32, win=8: 4x).
     """
     if fold_inside:
         gmat = grid_ref[0].reshape(r * r, r * C)
@@ -77,19 +85,36 @@ def _devox_kernel(grid_ref, lo_ref, frac_ref, out_ref, mean_ref=None,
     sy = jnp.where(fy > 0, 1, 0)
     sz = jnp.where(fz > 0, 1, 0)
 
-    col = jax.lax.broadcasted_iota(jnp.int32, (tn, r * r), 1)
-    xcol = col // r
-    ycol = col - xcol * r
+    if win is not None and win < r:
+        # windowed contraction: rows [x0*r, (x0+win)*r) of the xy-major
+        # grid (x0*r is a multiple of r >= 8 sublanes — aligned)
+        x0 = jnp.clip(jnp.min(ix), 0, r - win)
+        gwin = grid_ref[0, pl.ds(x0 * r, win * r), :]
+        ncol = win * r
+        col = jax.lax.broadcasted_iota(jnp.int32, (tn, ncol), 1)
+        xcol = x0 + col // r
+        ycol = col - (col // r) * r
+        # x-corner coverage: x0 == min(ix) unless clamped down, so only
+        # the high side can fall out
+        flag_ref[0] = (ix + sx > x0 + win - 1).astype(jnp.int32)
+    else:
+        gwin = gmat
+        ncol = r * r
+        col = jax.lax.broadcasted_iota(jnp.int32, (tn, ncol), 1)
+        xcol = col // r
+        ycol = col - xcol * r
+        if flag_ref is not None:
+            flag_ref[0] = jnp.zeros((tn, 1), jnp.int32)
     wx = jnp.where(xcol == ix, 1.0 - fx, 0.0) + jnp.where(
         xcol == ix + sx, jnp.where(sx > 0, fx, 0.0), 0.0
     )
     wy = jnp.where(ycol == iy, 1.0 - fy, 0.0) + jnp.where(
         ycol == iy + sy, jnp.where(sy > 0, fy, 0.0), 0.0
     )
-    w_xy = (wx * wy).astype(jnp.bfloat16)  # [tn, r*r], 4 nonzeros/row
+    w_xy = (wx * wy).astype(jnp.bfloat16)  # [tn, ncol], 4 nonzeros/row
 
     t = jnp.dot(
-        w_xy, gmat, preferred_element_type=jnp.float32
+        w_xy, gwin, preferred_element_type=jnp.float32
     )  # [tn, r*C]
 
     acc = jnp.zeros((tn, C), jnp.float32)
@@ -101,11 +126,11 @@ def _devox_kernel(grid_ref, lo_ref, frac_ref, out_ref, mean_ref=None,
     out_ref[0] = acc.astype(out_ref.dtype)
 
 
-@partial(jax.jit, static_argnums=(2, 3, 4, 5))
+@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
 def trilinear_devoxelize_pallas(
     grid: jnp.ndarray, coords: jnp.ndarray, resolution: int,
     interpret: bool = False, with_mean: bool = False,
-    fold: str = "outside",
+    fold: str = "outside", window: int = 0,
 ):
     """Trilinear interpolation of grid features at continuous coords.
 
@@ -118,9 +143,15 @@ def trilinear_devoxelize_pallas(
       fold: "outside" reshapes the grid to [B, r*r, r*C] in XLA (a
         tiled-layout relayout copy on TPU); "inside" ships the raw
         5-D block and folds in VMEM.
+      window: 0 = full-grid contraction (exact for any point order).
+        >0 = each point tile contracts only a window-column x-slab
+        anchored at the tile's min x-column; callers must pass points
+        SORTED by x-column and recompute flagged points (see
+        ``trilinear_devoxelize_windowed`` for the exact wrapper).
     Returns:
       [B, N, C] features in grid.dtype; with ``with_mean``, a tuple
-      ([B, N, C], [B, C] f32).
+      ([B, N, C], [B, C] f32). In windowed mode a [B, N] i32 coverage
+      flag array is appended to the returns.
     """
     r = resolution
     B, N = coords.shape[0], coords.shape[1]
@@ -133,10 +164,15 @@ def trilinear_devoxelize_pallas(
     tn = min(256, _round_up(N, 8))
     n_pad = _round_up(N, tn)
     if n_pad != N:
-        lo = jnp.pad(lo, ((0, 0), (0, n_pad - N), (0, 0)))
+        # pad x-cell with r-1 so pads never drag a window's min x down
+        # (pads land in the last, highest-x tile after the sort)
+        lo = jnp.pad(lo, ((0, 0), (0, n_pad - N), (0, 0)),
+                     constant_values=r - 1)
         frac = jnp.pad(frac, ((0, 0), (0, n_pad - N), (0, 0)))
 
     fold_inside = fold == "inside"
+    windowed = bool(window) and window < r
+    assert not (windowed and fold_inside), "window requires xy-major grid"
     if fold_inside:
         g2 = grid.astype(jnp.bfloat16)
         grid_spec = pl.BlockSpec((1, r, r, r, C),
@@ -147,22 +183,33 @@ def trilinear_devoxelize_pallas(
         grid_spec = pl.BlockSpec((1, r * r, r * C), lambda b, t: (b, 0, 0),
                                  memory_space=pltpu.VMEM)
     kernel = partial(_devox_kernel, r=r, C=C, tn=tn,
+                     win=window if windowed else None,
                      fold_inside=fold_inside)
-    out_specs = pl.BlockSpec((1, tn, C), lambda b, t: (b, t, 0),
-                             memory_space=pltpu.VMEM)
-    out_shape = jax.ShapeDtypeStruct((B, n_pad, C), grid.dtype)
+    out_specs = [pl.BlockSpec((1, tn, C), lambda b, t: (b, t, 0),
+                              memory_space=pltpu.VMEM)]
+    out_shape = [jax.ShapeDtypeStruct((B, n_pad, C), grid.dtype)]
+    if windowed:
+        out_specs.append(
+            pl.BlockSpec((1, tn, 1), lambda b, t: (b, t, 0),
+                         memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((B, n_pad, 1), jnp.int32))
+    else:
+        kernel = partial(kernel)
     if with_mean:
-        out_specs = [
-            out_specs,
+        out_specs.append(
             pl.BlockSpec((1, 1, C), lambda b, t: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ]
-        out_shape = [
-            out_shape,
-            jax.ShapeDtypeStruct((B, 1, C), jnp.float32),
-        ]
+                         memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((B, 1, C), jnp.float32))
+
+    def kernel_entry(grid_ref, lo_ref, frac_ref, *outs):
+        o_iter = iter(outs)
+        out_ref = next(o_iter)
+        flag_ref = next(o_iter) if windowed else None
+        mean_ref = next(o_iter) if with_mean else None
+        kernel(grid_ref, lo_ref, frac_ref, out_ref, flag_ref, mean_ref)
+
     out = pl.pallas_call(
-        kernel,
+        kernel_entry,
         grid=(B, n_pad // tn),
         in_specs=[
             grid_spec,
@@ -178,6 +225,9 @@ def trilinear_devoxelize_pallas(
         ),
         interpret=interpret,
     )(g2, lo, frac)
+    res = [out[0][:, :N]]
+    if windowed:
+        res.append(out[1][:, :N, 0])
     if with_mean:
-        return out[0][:, :N], out[1][:, 0]
-    return out[:, :N]
+        res.append(out[-1][:, 0])
+    return tuple(res) if len(res) > 1 else res[0]

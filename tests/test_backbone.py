@@ -148,6 +148,7 @@ def tiny_model():
     return model, variables, x, t
 
 
+@pytest.mark.slow
 def test_forward_shape_and_finite(tiny_model):
     model, variables, x, t = tiny_model
     out = model.apply(variables, x, t, None, True)
@@ -155,6 +156,7 @@ def test_forward_shape_and_finite(tiny_model):
     assert bool(jnp.isfinite(out).all())
 
 
+@pytest.mark.slow
 def test_forward_depends_on_time(tiny_model):
     model, variables, x, t = tiny_model
     o1 = model.apply(variables, x, jnp.array([1.0, 1.0]), None, True)
@@ -162,6 +164,7 @@ def test_forward_depends_on_time(tiny_model):
     assert not np.allclose(np.asarray(o1), np.asarray(o2), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_dropout_rng_changes_training_output(tiny_model):
     model, variables, x, t = tiny_model
     o1 = model.apply(
@@ -195,6 +198,7 @@ def test_zpack_conv_matches_standard():
         np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_kstack_conv_matches_standard():
     """ZPackConv3d kstack path (overlapping z-slabs stacked into the
     contraction dim, all 128 output lanes filled) is the same math as the
@@ -287,6 +291,7 @@ def test_conv3d_mode_env_rules(monkeypatch):
     assert pick_conv3d_mode(32, 32, 8) == "std"
 
 
+@pytest.mark.slow
 def test_kstack_conv_gradients_match_standard():
     """kstack is pure pad/slice/concat/conv, so autodiff through it must
     reproduce the standard conv's parameter and input gradients (the
@@ -335,6 +340,7 @@ def test_kstack_conv_falls_back_when_unpackable():
     np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_pallas_conv_matches_standard():
     """ZPackConv3d mode="pallas" (in-VMEM k-stacked Pallas conv,
     interpret mode off-TPU) reproduces the standard conv3d for the hot
@@ -370,6 +376,7 @@ def test_pallas_conv_matches_standard():
                                    atol=1e-4, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_pallas_conv_falls_back_when_unsupported():
     """Non-square XY plane (and any supports()=False shape) silently
     routes mode="pallas" to the standard conv."""
@@ -391,6 +398,7 @@ def test_pallas_conv_falls_back_when_unsupported():
     np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("use_cond", [False, True])
 def test_pvconv_fused_gn_path_matches_modules(monkeypatch, use_cond):
     """PVConv with the fused conv+GN Pallas path (forced via env; runs
@@ -424,6 +432,7 @@ def test_pvconv_fused_gn_path_matches_modules(monkeypatch, use_cond):
     np.testing.assert_allclose(got, want, atol=5e-5 * scale)
 
 
+@pytest.mark.slow
 def test_pallas_conv_gn_fused_matches_reference():
     """Fused conv+GroupNorm(+swish) epilogue == the XLA composition,
     for shared [C] and per-cloud [B, C] affines, both fold modes."""
@@ -456,6 +465,7 @@ def test_pallas_conv_gn_fused_matches_reference():
             np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-4)
 
 
+@pytest.mark.slow
 def test_pallas_conv_inside_fold_matches():
     """fold="inside" (z-group fold + channel pad + output unfold all in
     VMEM) is the same math as fold="outside" and the standard conv."""

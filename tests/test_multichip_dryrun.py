@@ -15,6 +15,11 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
+
+# flagship eval_shape + a real 8-device conditioned train-step compile
+# (~3 min of XLA:CPU) — full lane only (pytest.ini)
+pytestmark = pytest.mark.slow
 
 from p2p_bridge_tpu.models.p2pb import P2PBridge
 from p2p_bridge_tpu.models.unet_pvc import build_unet_from_config

@@ -209,6 +209,75 @@ def test_devox_kernel_matches_block_gather(rng):
     np.testing.assert_allclose(got_in, want, atol=2e-2, rtol=2e-2)
 
 
+@pytest.mark.slow
+def test_devox_windowed_matches_block_gather(rng):
+    """Round-4 windowed devoxelize (sort by x-column + windowed one-hot
+    matmul + exact residual pass) vs the XLA block-gather reference —
+    including an adversarial cluster that overflows the window and must
+    be caught by the coverage flag + residual recompute."""
+    import jax.numpy as jnp
+
+    from p2p_bridge_tpu.ops.devoxelize import (
+        _devox_windowed_tpu,
+        trilinear_devoxelize,
+    )
+
+    B, r, C, N = 2, 32, 16, 600
+    grid = jnp.asarray(rng.normal(size=(B, r, r, r, C)), jnp.bfloat16)
+    coords = jnp.asarray(rng.uniform(0, r - 1, size=(B, N, 3)), jnp.float32)
+    # adversarial: one tile's points span the full x range (the sorted
+    # tile still spans > window columns), plus frac==0 / r-1 edges
+    coords = coords.at[:, 0].set(jnp.asarray([0.0, 0.0, 0.0]))
+    coords = coords.at[:, 1].set(jnp.asarray([r - 1.0, r - 1.0, r - 1.0]))
+    want = np.asarray(
+        trilinear_devoxelize(grid, coords, r)  # CPU -> block-gather path
+    ).astype(np.float32)
+
+    got = np.asarray(
+        _devox_windowed_tpu(grid, coords, r, with_mean=False,
+                            interpret=True)
+    ).astype(np.float32)
+    np.testing.assert_allclose(got, want, atol=2e-2, rtol=2e-2)
+
+    # with_mean variant returns the SE pooling too
+    got_m, mean = _devox_windowed_tpu(grid, coords, r, with_mean=True,
+                                      interpret=True)
+    np.testing.assert_allclose(np.asarray(got_m).astype(np.float32), want,
+                               atol=2e-2, rtol=2e-2)
+    want_mean = np.asarray(
+        jnp.mean(grid.astype(jnp.float32), axis=(1, 2, 3))
+    )
+    np.testing.assert_allclose(np.asarray(mean), want_mean,
+                               atol=2e-2, rtol=2e-2)
+
+
+@pytest.mark.slow
+def test_devox_windowed_adversarial_x_clusters(rng):
+    """Worst-case x distribution: half the points in column 0, half in
+    column r-2 — every sorted tile that straddles the jump overflows the
+    window, exercising the flag + residual path heavily."""
+    import jax.numpy as jnp
+
+    from p2p_bridge_tpu.ops.devoxelize import (
+        _devox_windowed_tpu,
+        trilinear_devoxelize,
+    )
+
+    B, r, C, N = 1, 32, 16, 600
+    grid = jnp.asarray(rng.normal(size=(B, r, r, r, C)), jnp.bfloat16)
+    yz = rng.uniform(0, r - 1, size=(B, N, 2))
+    x = np.where(rng.uniform(size=(B, N)) < 0.5, 0.3, float(r - 2) + 0.4)
+    coords = jnp.asarray(np.concatenate([x[..., None], yz], -1), jnp.float32)
+    want = np.asarray(trilinear_devoxelize(grid, coords, r)).astype(
+        np.float32
+    )
+    got = np.asarray(
+        _devox_windowed_tpu(grid, coords, r, with_mean=False,
+                            interpret=True)
+    ).astype(np.float32)
+    np.testing.assert_allclose(got, want, atol=2e-2, rtol=2e-2)
+
+
 def test_voxelize_scatter_kernel_matches_exact(rng):
     """Pallas scatter voxelize (interpret mode) vs the exact f32 scatter
     path, f32 + bf16 inputs, uniform and collision-heavy indices."""

@@ -10,9 +10,15 @@ import os
 import numpy as np
 import pytest
 
-pytestmark = pytest.mark.skipif(
-    not os.path.isdir("/root/reference"), reason="reference repo not mounted"
-)
+pytestmark = [
+    pytest.mark.skipif(
+        not os.path.isdir("/root/reference"),
+        reason="reference repo not mounted",
+    ),
+    # full-scale torch forwards (26M/118M params on CPU) dominate the
+    # suite's runtime — full lane only (pytest.ini)
+    pytest.mark.slow,
+]
 
 TINY = {
     "data": {"npoints": 256},
