@@ -333,6 +333,17 @@ def pick_conv3d_mode(cin: int, cout: int, Z: int,
             return default
     if jax.devices()[0].platform != "tpu":
         return "std"
+    if (
+        128 % cout == 0
+        and ((128 // cout) * cin) % 128 == 0
+        and (2 * cin) % 128 == 0
+        and Z % (128 // cout) == 0
+    ):
+        # lane-aligned windowed Pallas conv with the GN(+swish) epilogue
+        # fused on the VMEM accumulator: whole fwd 61.1 -> 54.8 ms at
+        # B=73 (round-4 A/B; ZPackConv3d falls back below when the full
+        # grid shape fails wconv's supports())
+        return "wconv"
     if cin == 64 and cout == 64 and Z % 2 == 0 and Z >= 4:
         return "zpack"
     if cin > 32 and cin % 32 != 0:
@@ -345,15 +356,20 @@ def pick_conv3d_mode(cin: int, cout: int, Z: int,
 
 def conv3d_gn_fusible(cin: int, cout: int, r: int) -> bool:
     """True when the conv+GroupNorm chain over a cubic [r, r, r] voxel
-    grid will run the fused Pallas kernel (policy picks "pallas" and the
-    kernel supports the shape)."""
-    from ..ops.pallas.conv3d_kernel import supports
+    grid will run a fused Pallas kernel (policy picks "pallas"/"wconv"
+    and that kernel supports the shape)."""
+    if os.environ.get("P2PB_GN_FUSE", "1") != "1":
+        return False
+    mode = pick_conv3d_mode(cin, cout, r)
+    if mode == "pallas":
+        from ..ops.pallas.conv3d_kernel import supports
 
-    return (
-        pick_conv3d_mode(cin, cout, r) == "pallas"
-        and os.environ.get("P2PB_GN_FUSE", "1") == "1"
-        and supports(cin, cout, r, r)
-    )
+        return supports(cin, cout, r, r)
+    if mode == "wconv":
+        from ..ops.pallas.wconv3d_kernel import supports
+
+        return supports(cin, cout, r, r)
+    return False
 
 
 class GroupNormParams(nn.Module):
@@ -436,6 +452,36 @@ class ZPackConv3d(nn.Module):
             128 % cout == 0 and 128 // cout >= 2 and Z % (128 // cout) == 0
         ):
             mode = "std"
+        if mode == "wconv":
+            # round-4 windowed-z Pallas conv: aligned full-width MXU
+            # matmuls at (P+2)/3 structural FLOPs (4/3 for 64->64) —
+            # see ops/pallas/wconv3d_kernel.py
+            from ..ops.pallas.wconv3d_kernel import (
+                supports as wconv_supports, wconv3d_gn_pallas,
+                wconv3d_pallas,
+            )
+            if (
+                x.shape[1] == x.shape[2]
+                and wconv_supports(cin, cout, x.shape[1], Z)
+            ):
+                interp = jax.devices()[0].platform != "tpu"
+                if gn is not None and os.environ.get(
+                    "P2PB_GN_FUSE", "1"
+                ) == "1":
+                    # epilogue on the f32 accumulator in VMEM — the
+                    # unfused variant leaks ~14 ms of GN/silu HBM
+                    # passes at B=73 (round-4 A/B, BASELINE.md)
+                    gamma, beta, groups, eps, act = gn
+                    return wconv3d_gn_pallas(
+                        x, kernel, bias, gamma, beta, groups=groups,
+                        eps=eps, act=act, interpret=interp,
+                    )
+                return epilogue(
+                    wconv3d_pallas(x, kernel, bias, interpret=interp)
+                )
+            # non-square / off-tile grid: next-best measured mode
+            mode = ("zpack" if cin == 64 and cout == 64
+                    and Z % 2 == 0 and Z >= 4 else "std")
         if mode == "pallas":
             from ..ops.pallas.conv3d_kernel import (
                 kstack_conv3d_gn_pallas, kstack_conv3d_pallas, supports,

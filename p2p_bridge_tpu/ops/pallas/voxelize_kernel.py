@@ -28,7 +28,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_UNROLL = 4  # independent accumulators: breaks the RMW dependency chain
+import os
+
+# independent accumulators: breaks the serial RMW dependency chain.
+# 4 measured best in round 3; env knob for A/B (each extra chain costs
+# an [r3 + 8, C + 1] f32 VMEM accumulator).
+_UNROLL = int(os.environ.get("P2PB_VOX_UNROLL", "4"))
 
 
 def _round_up(v, m):

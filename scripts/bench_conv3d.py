@@ -27,11 +27,14 @@ SHAPES = [  # (cin, cout, R, Z) from the PVDS_PUNet census
     (64, 64, 32, 32),   # fp3 vconv1/vconv2
     (64, 64, 16, 16),   # sa1
     (128, 64, 16, 16),  # sa1
+    (128, 128, 16, 16),  # fp2
 ]
 # pallas/inside dropped: Mosaic rejects the in-kernel z-fold reshape
 # (unsupported shape cast, A/B session 2026-08-18) — fold stays outside.
-MODES = ["std", "zpack", "pallas/outside",
+MODES = ["std", "zpack", "pallas/outside", "wconv",
          "std+gn", "zpack+gn", "pallas/outside+gn"]
+if os.environ.get("P2PB_BENCH_MODES"):
+    MODES = os.environ["P2PB_BENCH_MODES"].split(",")
 
 
 def timed(fn, x):

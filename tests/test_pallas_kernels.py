@@ -391,3 +391,120 @@ def test_devox_with_mean_matches_separate(rng):
     np.testing.assert_allclose(
         np.asarray(got_g), np.asarray(want_g), atol=1e-4
     )
+
+
+# ---------------------------------------------------------------------------
+# wconv3d: round-4 windowed-z voxel conv (ops/pallas/wconv3d_kernel.py)
+
+
+@pytest.mark.parametrize(
+    "R,Z,cin,cout",
+    [(16, 16, 64, 64), (32, 32, 64, 64), (16, 16, 128, 128),
+     (16, 16, 128, 64)],
+)
+def test_wconv3d_matches_lax_conv(rng, R, Z, cin, cout):
+    """Brute-force parity of the windowed-z conv against XLA's SAME
+    conv3d on every supported shape class (P=2 square, P=1, cin>cout)."""
+    from p2p_bridge_tpu.ops.pallas import wconv3d_kernel as wk
+
+    assert wk.supports(cin, cout, R, Z)
+    x = jnp.asarray(rng.normal(size=(2, R, R, Z, cin)), jnp.float32)
+    k = jnp.asarray(
+        rng.normal(size=(3, 3, 3, cin, cout)) * 0.05, jnp.float32)
+    b = jnp.asarray(rng.normal(size=(cout,)), jnp.float32)
+    got = wk.wconv3d_pallas(x, k, b, interpret=True)
+    want = wk._ref_conv(x, k, b)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=2e-4, rtol=2e-4)
+
+
+def test_wconv3d_rejects_unsupported_shapes():
+    from p2p_bridge_tpu.ops.pallas.wconv3d_kernel import supports
+
+    assert not supports(35, 32, 32, 32)   # ragged cin (csplit territory)
+    assert not supports(32, 64, 32, 32)   # P*cin = 64: misaligned window
+    assert not supports(64, 48, 32, 32)   # cout does not divide 128
+    assert not supports(64, 64, 12, 32)   # rows off the sublane tile
+    assert not supports(64, 64, 32, 31)   # Z not a multiple of P
+
+
+def test_wconv3d_grad_matches_lax_conv(rng):
+    """custom_vjp routes backward through XLA's conv transposes; the
+    gradients must match differentiating the reference conv."""
+    from p2p_bridge_tpu.ops.pallas import wconv3d_kernel as wk
+
+    x = jnp.asarray(rng.normal(size=(1, 16, 16, 16, 64)), jnp.float32)
+    k = jnp.asarray(
+        rng.normal(size=(3, 3, 3, 64, 64)) * 0.05, jnp.float32)
+    b = jnp.asarray(rng.normal(size=(64,)), jnp.float32)
+
+    def loss_p(x, k, b):
+        return jnp.sum(wk.wconv3d_pallas(x, k, b, interpret=True) ** 2)
+
+    def loss_r(x, k, b):
+        return jnp.sum(wk._ref_conv(x, k, b) ** 2)
+
+    gp = jax.grad(loss_p, argnums=(0, 1, 2))(x, k, b)
+    gr = jax.grad(loss_r, argnums=(0, 1, 2))(x, k, b)
+    for a, w in zip(gp, gr):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(w), atol=2e-3, rtol=2e-3)
+
+
+@pytest.mark.parametrize("percloud,act", [(False, False), (True, True)])
+def test_wconv3d_gn_matches_xla_composition(rng, percloud, act):
+    """Fused conv+GroupNorm(+swish) parity vs the XLA reference
+    composition, with shared [C] and per-cloud [B, C] (AdaGN) affines."""
+    from p2p_bridge_tpu.ops.pallas import wconv3d_kernel as wk
+    from p2p_bridge_tpu.ops.pallas.conv3d_kernel import _ref_conv_gn
+
+    B, R, Z, C = 2, 16, 16, 64
+    x = jnp.asarray(rng.normal(size=(B, R, R, Z, C)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(3, 3, 3, C, C)) * 0.05, jnp.float32)
+    b = jnp.asarray(rng.normal(size=(C,)), jnp.float32)
+    shape = (B, C) if percloud else (C,)
+    gamma = jnp.asarray(1.0 + 0.1 * rng.normal(size=shape), jnp.float32)
+    beta = jnp.asarray(0.1 * rng.normal(size=shape), jnp.float32)
+    got = wk.wconv3d_gn_pallas(x, k, b, gamma, beta, groups=8,
+                               act=act, interpret=True)
+    want = _ref_conv_gn(x, k, b, gamma, beta, groups=8, eps=1e-5,
+                        act=act)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=5e-4, rtol=5e-4)
+
+    def loss_p(x, k, b, gamma, beta):
+        return jnp.sum(wk.wconv3d_gn_pallas(
+            x, k, b, gamma, beta, groups=8, act=act, interpret=True
+        ) ** 2)
+
+    def loss_r(x, k, b, gamma, beta):
+        return jnp.sum(_ref_conv_gn(
+            x, k, b, gamma, beta, groups=8, eps=1e-5, act=act) ** 2)
+
+    gp = jax.grad(loss_p, argnums=(0, 1, 3))(x, k, b, gamma, beta)
+    gr = jax.grad(loss_r, argnums=(0, 1, 3))(x, k, b, gamma, beta)
+    for a, w in zip(gp, gr):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(w), atol=5e-3, rtol=5e-3)
+
+
+def test_zpackconv_wconv_mode_matches_std(rng):
+    """ZPackConv3d(mode="wconv") == mode="std" on a supported shape,
+    including the GN(+swish) epilogue contract; unsupported shapes fall
+    back to std silently."""
+    from p2p_bridge_tpu.models.modules import ZPackConv3d
+
+    x = jnp.asarray(rng.normal(size=(2, 16, 16, 16, 64)), jnp.float32)
+    mw = ZPackConv3d(64, mode="wconv")
+    ms = ZPackConv3d(64, mode="std")
+    p = jax.jit(mw.init)(jax.random.key(0), x)
+    got = jax.jit(mw.apply)(p, x)
+    want = jax.jit(ms.apply)(p, x)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=2e-4, rtol=2e-4)
+    gn = (jnp.full((64,), 1.1, jnp.float32),
+          jnp.full((64,), 0.05, jnp.float32), 8, 1e-5, True)
+    g1 = jax.jit(lambda p, x: mw.apply(p, x, gn=gn))(p, x)
+    g2 = jax.jit(lambda p, x: ms.apply(p, x, gn=gn))(p, x)
+    np.testing.assert_allclose(
+        np.asarray(g1), np.asarray(g2), atol=2e-4, rtol=2e-4)
