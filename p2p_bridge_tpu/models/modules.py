@@ -553,27 +553,11 @@ class ZPackConv3d(nn.Module):
             return epilogue(y + bias)
 
         if mode == "zpack":
-            # Dense z-pack: [B,X,Y,Z/P,P*Cin] conv with a structurally
-            # zero-padded [3,3,3,P*Cin,P*Cout] kernel. P x the FLOPs at
-            # the full-lane MXU rate. out z-slot j, tap dz reads
-            # z_in = j+dz-1 = t*P + i -> packed tap t+1, input slot i.
-            P = 2
-            big = jnp.zeros((3, 3, 3, P * cin, P * cout), kernel.dtype)
-            for j in range(P):
-                for dz in range(3):
-                    zoff = j + dz - 1
-                    t, i = zoff // P, zoff % P
-                    big = big.at[
-                        :, :, t + 1, i * cin:(i + 1) * cin,
-                        j * cout:(j + 1) * cout,
-                    ].set(kernel[:, :, dz])
-            xp = x.reshape(B, X, Y, Z // P, P * cin)
-            y = jax.lax.conv_general_dilated(
-                xp, big, (1, 1, 1), "SAME",
-                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-            )
-            y = y.reshape(B, X, Y, Z, cout)
-            return epilogue(y + bias)
+            # Dense z-pack (shared formulation — ops/voxconv.py): P x
+            # the FLOPs at the full-lane MXU rate.
+            from ..ops.voxconv import zpack_conv3d
+
+            return epilogue(zpack_conv3d(x, kernel, bias))
 
         # kstack: stack the P+2 overlapping z-slabs of each P-sized output
         # group into the CONTRACTION dim instead of zero-padding both dims.

@@ -34,7 +34,8 @@ def _round_up(v, m):
 
 
 def _devox_kernel(grid_ref, lo_ref, frac_ref, out_ref, flag_ref=None,
-                  mean_ref=None, *, r, C, tn, win=None, fold_inside=False):
+                  mean_ref=None, *, r, C, tn, win=None, fold_inside=False,
+                  zcombine="vpu"):
     """One (batch, point-tile) per grid step.
 
     grid_ref: [1, r*r, r*C] VMEM — the voxel grid, xy-major — or the
@@ -85,6 +86,13 @@ def _devox_kernel(grid_ref, lo_ref, frac_ref, out_ref, flag_ref=None,
     sy = jnp.where(fy > 0, 1, 0)
     sz = jnp.where(fz > 0, 1, 0)
 
+    def axis_w(cells, i0, f, s):
+        """[tn, ncells] per-axis corner weights: (1-f) at i0, f at
+        i0+1 when f > 0 (the CUDA kernel's high-corner step rule)."""
+        return jnp.where(cells == i0, 1.0 - f, 0.0) + jnp.where(
+            cells == i0 + s, jnp.where(s > 0, f, 0.0), 0.0
+        )
+
     if win is not None and win < r:
         # windowed contraction: rows [x0*r, (x0+win)*r) of the xy-major
         # grid (x0*r is a multiple of r >= 8 sublanes — aligned)
@@ -105,24 +113,34 @@ def _devox_kernel(grid_ref, lo_ref, frac_ref, out_ref, flag_ref=None,
         ycol = col - xcol * r
         if flag_ref is not None:
             flag_ref[0] = jnp.zeros((tn, 1), jnp.int32)
-    wx = jnp.where(xcol == ix, 1.0 - fx, 0.0) + jnp.where(
-        xcol == ix + sx, jnp.where(sx > 0, fx, 0.0), 0.0
-    )
-    wy = jnp.where(ycol == iy, 1.0 - fy, 0.0) + jnp.where(
-        ycol == iy + sy, jnp.where(sy > 0, fy, 0.0), 0.0
-    )
+    # direct compare build (a factorized per-axis build expanded by 0/1
+    # MXU matmuls measured +0.1-0.4 ms — the compares are cheap)
+    wx = axis_w(xcol, ix, fx, sx)
+    wy = axis_w(ycol, iy, fy, sy)
     w_xy = (wx * wy).astype(jnp.bfloat16)  # [tn, ncol], 4 nonzeros/row
 
     t = jnp.dot(
         w_xy, gwin, preferred_element_type=jnp.float32
     )  # [tn, r*C]
 
-    acc = jnp.zeros((tn, C), jnp.float32)
-    for k in range(r):
-        wz = jnp.where(iz == k, 1.0 - fz, 0.0) + jnp.where(
-            (iz + sz == k) & (sz > 0), fz, 0.0
-        )  # [tn, 1]
-        acc = acc + wz * t[:, k * C:(k + 1) * C]
+    if zcombine == "mxu":
+        # z-combination on the MXU: weight every lane by its plane's
+        # w_z, then sum the r C-wide lane chunks with one block-diagonal
+        # f32 matmul — the VPU chunk loop below slices lanes at C-
+        # multiples, which relayouts every step when C < 128.
+        zi = jax.lax.broadcasted_iota(jnp.int32, (tn, r * C), 1) // C
+        wzv = axis_w(zi, iz, fz, sz)  # [tn, r*C] f32
+        li = jax.lax.broadcasted_iota(jnp.int32, (r * C, C), 0) % C
+        lj = jax.lax.broadcasted_iota(jnp.int32, (r * C, C), 1)
+        bd = (li == lj).astype(jnp.float32)
+        acc = jnp.dot(t * wzv, bd, preferred_element_type=jnp.float32)
+    else:
+        acc = jnp.zeros((tn, C), jnp.float32)
+        for k in range(r):
+            wz = jnp.where(iz == k, 1.0 - fz, 0.0) + jnp.where(
+                (iz + sz == k) & (sz > 0), fz, 0.0
+            )  # [tn, 1]
+            acc = acc + wz * t[:, k * C:(k + 1) * C]
     out_ref[0] = acc.astype(out_ref.dtype)
 
 
@@ -182,9 +200,16 @@ def trilinear_devoxelize_pallas(
         g2 = grid.astype(jnp.bfloat16).reshape(B, r * r, r * C)
         grid_spec = pl.BlockSpec((1, r * r, r * C), lambda b, t: (b, 0, 0),
                                  memory_space=pltpu.VMEM)
+    import os
+
+    # measured (round 4, B=73): the MXU block-diag z-combine wins when
+    # C < 64 (the VPU chunk loop relayouts every misaligned slice);
+    # at C >= 64 the slices are cheap and the extra matmul loses
+    zc_default = "mxu" if C < 64 else "vpu"
     kernel = partial(_devox_kernel, r=r, C=C, tn=tn,
                      win=window if windowed else None,
-                     fold_inside=fold_inside)
+                     fold_inside=fold_inside,
+                     zcombine=os.environ.get("P2PB_DEVOX_ZC", zc_default))
     out_specs = [pl.BlockSpec((1, tn, C), lambda b, t: (b, t, 0),
                               memory_space=pltpu.VMEM)]
     out_shape = [jax.ShapeDtypeStruct((B, n_pad, C), grid.dtype)]

@@ -35,21 +35,32 @@ import os
 # an [r3 + 8, C + 1] f32 VMEM accumulator).
 _UNROLL = int(os.environ.get("P2PB_VOX_UNROLL", "4"))
 
+_LANES = 128
+
 
 def _round_up(v, m):
     return -(-v // m) * m
 
 
-def _scatter_kernel(idx_ref, feat_ref, out_ref, *accs, n_pts, r3, C):
+def _scatter_kernel(idx_ref, feat_ref, out_ref, *accs, n_pts, r3, C,
+                    folded_r=0):
     """One batch element per grid step.
 
     idx_ref:  [1, 1, n_pad] i32 SMEM — flat voxel index per point
-              (padded points carry r3, the dump row).
+              (padded points carry r3, the dump row). x-major
+              (x*r^2 + y*r + z) normally; z-major (z*r^2 + x*r + y)
+              when ``folded_r`` (so each z-plane is a contiguous row
+              block the epilogue can park in a lane group).
     feat_ref: [1, n_pad, C+1] f32 VMEM — features with a trailing ones
               column (zeros on padded points). f32: Mosaic requires
               static multiple-of-8 sublane indices for packed (bf16)
               dynamic row loads, so sub-f32 inputs are cast on entry.
-    out_ref:  [1, r3, C] VMEM — per-voxel feature means.
+    out_ref:  [1, r3, C] VMEM — per-voxel feature means — or
+              [1, r^2, r*C] with ``folded_r`` = r: the lane-full folded
+              layout (rows (x, y), lanes (z, c) z-major) that the
+              windowed conv and devoxelize kernels consume directly,
+              skipping the XLA-side [*, C]->[*, r*C] tiled-layout
+              relayout (~1.5 ms at B=73, r=32, C=64).
     accs:     _UNROLL f32 VMEM scratch accumulators [r3 + 8, C + 1].
     """
     for acc in accs:
@@ -65,11 +76,33 @@ def _scatter_kernel(idx_ref, feat_ref, out_ref, *accs, n_pts, r3, C):
 
     jax.lax.fori_loop(0, n_pts // _UNROLL, body, 0)
 
-    total = accs[0][...]
-    for acc in accs[1:]:
-        total = total + acc[...]
-    cnt = jnp.maximum(total[:r3, C:], 1.0)
-    out_ref[0] = (total[:r3, :C] / cnt).astype(out_ref.dtype)
+    if not folded_r:
+        total = accs[0][...]
+        for acc in accs[1:]:
+            total = total + acc[...]
+        cnt = jnp.maximum(total[:r3, C:], 1.0)
+        out_ref[0] = (total[:r3, :C] / cnt).astype(out_ref.dtype)
+        return
+
+    # folded emission: z-plane block z (rows [z*r^2, (z+1)*r^2)) lands
+    # in lane columns [z*C, (z+1)*C); blocks are staged and stored one
+    # 128-lane group at a time so every store is tile-aligned.
+    r = folded_r
+    r2 = r3 // r
+    merge = _LANES // C
+    parts = []
+    for z in range(r):
+        blk = accs[0][pl.ds(z * r2, r2), :]
+        for acc in accs[1:]:
+            blk = blk + acc[pl.ds(z * r2, r2), :]
+        cnt = jnp.maximum(blk[:, C:C + 1], 1.0)
+        parts.append(blk[:, :C] / cnt)
+        if len(parts) == merge:
+            grp = parts[0] if merge == 1 else jnp.concatenate(
+                parts, axis=1)
+            out_ref[0, :, pl.ds((z // merge) * _LANES, _LANES)] = (
+                grp.astype(out_ref.dtype))
+            parts = []
 
 
 def _gather_kernel(idx_ref, grid_ref, out_ref, *, n_pts, C):
@@ -99,12 +132,24 @@ def scatter_vmem_bytes(N: int, r3: int, C: int) -> int:
     return acc + feat + out
 
 
-@partial(jax.jit, static_argnums=(2, 3))
+def folded_scatter_ok(r: int, C: int) -> bool:
+    """True when the folded-emission scatter supports (r, C): whole
+    z-planes must merge into 128-lane groups and rows stay tile-aligned."""
+    return (
+        C in (32, 64, 128)
+        and (r * C) % _LANES == 0
+        and (r * r) % 8 == 0
+        and r % (_LANES // C) == 0
+    )
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4))
 def avg_voxelize_scatter_pallas(
     features: jnp.ndarray,
     idx: jnp.ndarray,
     r3: int,
     interpret: bool = None,
+    folded_r: int = 0,
 ) -> jnp.ndarray:
     """Scatter-mean features into a flat voxel grid.
 
@@ -112,10 +157,16 @@ def avg_voxelize_scatter_pallas(
       features: [B, N, C] point features (f32 or bf16; accumulation is
         f32 either way, so f32 inputs are scattered *exactly* — tighter
         than the one-hot path's hi/lo bf16 split).
-      idx: [B, N] int32 flat voxel indices in [0, r3).
+      idx: [B, N] int32 flat voxel indices in [0, r3). x-major
+        (x*r^2 + y*r + z) normally; z-major (z*r^2 + x*r + y) when
+        ``folded_r`` is set.
       r3: number of voxels (static).
+      folded_r: 0 emits [B, r3, C]; r emits the lane-full folded layout
+        [B, r^2, r*C] (rows (x, y), lanes (z, c)) — check
+        :func:`folded_scatter_ok` first.
     Returns:
-      [B, r3, C] per-voxel means in features.dtype (empty voxels -> 0).
+      [B, r3, C] (or [B, r^2, r*C]) per-voxel means in features.dtype
+      (empty voxels -> 0).
     """
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
@@ -128,7 +179,13 @@ def avg_voxelize_scatter_pallas(
         idx = jnp.pad(idx, ((0, 0), (0, n_pad - N)), constant_values=r3)
     idx = idx.reshape(B, 1, n_pad)
 
-    kernel = partial(_scatter_kernel, n_pts=n_pad, r3=r3, C=C)
+    if folded_r:
+        r = folded_r
+        out_rows, out_lanes = r3 // r, r * C
+    else:
+        out_rows, out_lanes = r3, C
+    kernel = partial(_scatter_kernel, n_pts=n_pad, r3=r3, C=C,
+                     folded_r=folded_r)
     out = pl.pallas_call(
         kernel,
         grid=(B,),
@@ -138,9 +195,11 @@ def avg_voxelize_scatter_pallas(
             pl.BlockSpec((1, n_pad, C + 1), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, r3, C), lambda b: (b, 0, 0),
+        out_specs=pl.BlockSpec((1, out_rows, out_lanes),
+                               lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, r3, C), features.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, out_rows, out_lanes),
+                                       features.dtype),
         scratch_shapes=[
             pltpu.VMEM((r3 + 8, C + 1), jnp.float32)
             for _ in range(_UNROLL)

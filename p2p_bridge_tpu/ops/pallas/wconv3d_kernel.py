@@ -256,11 +256,11 @@ def _conv_fwd(x, kernel, bias, gamma, beta, interpret,
 
 
 def _ref_conv(x, kernel, bias):
-    y = jax.lax.conv_general_dilated(
-        x, kernel, (1, 1, 1), "SAME",
-        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-    )
-    return y + bias
+    # the measured-best XLA formulation per shape: this is both the
+    # parity oracle AND the under-grad primal (see _make_conv.fwd)
+    from ..voxconv import best_xla_conv3d
+
+    return best_xla_conv3d(x, kernel, bias)
 
 
 @lru_cache(maxsize=None)
@@ -270,7 +270,13 @@ def _make_conv(interpret: bool):
         return _conv_fwd(x, kernel, bias, None, None, interpret)
 
     def fwd(x, kernel, bias):
-        return conv(x, kernel, bias), (x, kernel, bias)
+        # under grad the primal is the XLA composition: the backward's
+        # jax.vjp re-run is then structurally identical and CSEs with
+        # it inside the jitted train step, so training keeps XLA's
+        # fused fwd+bwd convs (a pallas primal left the bwd recompute
+        # unshared: +28 ms/step measured). No-grad callers — the
+        # sampler, eval, bench — still take the pallas kernel above.
+        return _ref_conv(x, kernel, bias), (x, kernel, bias)
 
     def bwd(res, g):
         return jax.vjp(_ref_conv, *res)[1](g)
@@ -289,9 +295,11 @@ def wconv3d_pallas(x, kernel, bias, interpret=False):
 
 @lru_cache(maxsize=None)
 def _make_conv_gn(interpret: bool, groups: int, eps: float, act: bool):
-    from .conv3d_kernel import _ref_conv_gn
+    from .conv3d_kernel import _apply_gn_xla
 
-    ref = partial(_ref_conv_gn, groups=groups, eps=eps, act=act)
+    def ref(x, kernel, bias, gamma, beta):
+        return _apply_gn_xla(_ref_conv(x, kernel, bias), gamma, beta,
+                             groups=groups, eps=eps, act=act)
 
     @jax.custom_vjp
     def conv(x, kernel, bias, gamma, beta):
@@ -299,7 +307,8 @@ def _make_conv_gn(interpret: bool, groups: int, eps: float, act: bool):
                          groups, eps, act)
 
     def fwd(x, kernel, bias, gamma, beta):
-        return conv(x, kernel, bias, gamma, beta), \
+        # XLA primal under grad (see _make_conv.fwd for why)
+        return ref(x, kernel, bias, gamma, beta), \
             (x, kernel, bias, gamma, beta)
 
     def bwd(res, g):

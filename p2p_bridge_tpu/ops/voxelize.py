@@ -72,9 +72,24 @@ def avg_voxelize(
         exact = jax.devices()[0].platform != "tpu"
 
     if not exact:
-        from .pallas.voxelize_kernel import scatter_vmem_bytes
+        from .pallas.voxelize_kernel import (
+            folded_scatter_ok, scatter_vmem_bytes,
+        )
 
         if scatter_vmem_bytes(N, r3, C) <= 100 * 2**20:
+            if folded_scatter_ok(r, C):
+                # folded emission [B, r^2, r*C]: the reshape back to 5-D
+                # below is a pure row-major reshape, and consumers that
+                # immediately re-fold (the windowed conv, devoxelize)
+                # cancel the pair in XLA — the grid never pays the
+                # [*, C] -> [*, r*C] tiled-layout relayout
+                idx_fold = (
+                    vox_coords[..., 2] * (r * r)
+                    + vox_coords[..., 0] * r + vox_coords[..., 1]
+                )
+                return _avg_voxelize_pallas_folded(
+                    features, idx_fold, r3, r
+                ).reshape(B, r, r, r, C)
             return _avg_voxelize_pallas(features, idx, r3).reshape(
                 B, r, r, r, C
             )
@@ -184,6 +199,39 @@ def _avp_bwd(r3, res, g):
 
 
 _avg_voxelize_pallas.defvjp(_avp_fwd, _avp_bwd)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _avg_voxelize_pallas_folded(features, idx_fold, r3, r):
+    """Folded-layout VMEM scatter voxelize ([B, r^2, r*C] out, z-major
+    rows in) with the same CUDA backward semantics as the flat path."""
+    from .pallas.voxelize_kernel import avg_voxelize_scatter_pallas
+
+    return avg_voxelize_scatter_pallas(features, idx_fold, r3,
+                                       folded_r=r)
+
+
+def _avpf_fwd(features, idx_fold, r3, r):
+    proto = jnp.zeros((0,), features.dtype)
+    return (_avg_voxelize_pallas_folded(features, idx_fold, r3, r),
+            (idx_fold, proto))
+
+
+def _avpf_bwd(r3, r, res, g):
+    idx_fold, proto = res
+    B, N = idx_fold.shape
+    C = g.shape[-1] // r
+    # folded rows are (x, y) with z-major lanes, so g reshaped to
+    # [B, r^3, C] has row index xy*r + z — the standard x-major flat
+    # index; recover (xy, z) from the z-major scatter index
+    r2 = r * r
+    z = idx_fold // r2
+    xy = idx_fold - z * r2
+    idx = xy * r + z
+    return _avp_bwd(r3, (idx, proto), g.reshape(B, r3, C))[:1] + (None,)
+
+
+_avg_voxelize_pallas_folded.defvjp(_avpf_fwd, _avpf_bwd)
 
 
 def normalize_coords_to_voxels(

@@ -451,6 +451,35 @@ def test_wconv3d_grad_matches_lax_conv(rng):
             np.asarray(a), np.asarray(w), atol=2e-3, rtol=2e-3)
 
 
+@pytest.mark.parametrize("r,C", [(8, 32), (8, 64), (4, 128)])
+def test_folded_scatter_voxelize_matches_exact(rng, r, C):
+    """Folded-emission scatter ([B, r^2, r*C] out, z-major rows) must
+    reproduce the exact scatter-mean and its backward bit-for-bit up to
+    f32 reduction order (the 5-D reshape is pure row-major)."""
+    from p2p_bridge_tpu.ops.pallas.voxelize_kernel import folded_scatter_ok
+    from p2p_bridge_tpu.ops.voxelize import avg_voxelize
+
+    assert folded_scatter_ok(r, C)
+    B, N = 2, 200
+    feats = jnp.asarray(rng.normal(size=(B, N, C)), jnp.float32)
+    vox = jnp.asarray(rng.integers(0, r, size=(B, N, 3)), jnp.int32)
+    want = avg_voxelize(feats, vox, r, exact=True)
+    got = avg_voxelize(feats, vox, r, exact=False)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5)
+
+    def loss_e(f):
+        return jnp.sum(avg_voxelize(f, vox, r, exact=True) ** 2)
+
+    def loss_p(f):
+        return jnp.sum(avg_voxelize(f, vox, r, exact=False) ** 2)
+
+    ge = jax.grad(loss_e)(feats)
+    gp = jax.grad(loss_p)(feats)
+    np.testing.assert_allclose(
+        np.asarray(gp), np.asarray(ge), atol=1e-4, rtol=1e-4)
+
+
 @pytest.mark.parametrize("percloud,act", [(False, False), (True, True)])
 def test_wconv3d_gn_matches_xla_composition(rng, percloud, act):
     """Fused conv+GroupNorm(+swish) parity vs the XLA reference
