@@ -42,8 +42,8 @@ def _round_up(v, m):
     return -(-v // m) * m
 
 
-def _scatter_kernel(idx_ref, feat_ref, out_ref, *accs, n_pts, r3, C,
-                    folded_r=0):
+def _scatter_kernel(idx_ref, feat_ref, *rest, n_pts, r3, C,
+                    folded_r=0, ext_counts=False):
     """One batch element per grid step.
 
     idx_ref:  [1, 1, n_pad] i32 SMEM — flat voxel index per point
@@ -61,8 +61,21 @@ def _scatter_kernel(idx_ref, feat_ref, out_ref, *accs, n_pts, r3, C,
               windowed conv and devoxelize kernels consume directly,
               skipping the XLA-side [*, C]->[*, r*C] tiled-layout
               relayout (~1.5 ms at B=73, r=32, C=64).
-    accs:     _UNROLL f32 VMEM scratch accumulators [r3 + 8, C + 1].
+    cnt_ref:  (``ext_counts`` mode, folded only) [1, r^2, r] f32 VMEM —
+              per-voxel point counts (pre-clamped to >= 1) in the folded
+              (xy, z) layout, computed OUTSIDE by the factorized one-hot
+              einsum. Dropping the in-kernel ones column keeps the
+              accumulator lanes at C exactly — for C=128 the +1 would
+              round the lane tile to 256 and blow the VMEM gate (the
+              PVDL room flagship's fp3 grids fell back to the one-hot
+              path for exactly this reason).
+    accs:     _UNROLL f32 VMEM scratch accumulators
+              [r3 + 8, C + 1] (or [r3 + 8, C] with ``ext_counts``).
     """
+    if ext_counts:
+        cnt_ref, out_ref, *accs = rest
+    else:
+        out_ref, *accs = rest
     for acc in accs:
         acc[...] = jnp.zeros_like(acc)
 
@@ -95,7 +108,10 @@ def _scatter_kernel(idx_ref, feat_ref, out_ref, *accs, n_pts, r3, C,
         blk = accs[0][pl.ds(z * r2, r2), :]
         for acc in accs[1:]:
             blk = blk + acc[pl.ds(z * r2, r2), :]
-        cnt = jnp.maximum(blk[:, C:C + 1], 1.0)
+        if ext_counts:
+            cnt = cnt_ref[0][:, z:z + 1]  # pre-clamped >= 1
+        else:
+            cnt = jnp.maximum(blk[:, C:C + 1], 1.0)
         parts.append(blk[:, :C] / cnt)
         if len(parts) == merge:
             grp = parts[0] if merge == 1 else jnp.concatenate(
@@ -123,9 +139,10 @@ def _gather_kernel(idx_ref, grid_ref, out_ref, *, n_pts, C):
     jax.lax.fori_loop(0, n_pts // _UNROLL, body, 0)
 
 
-def scatter_vmem_bytes(N: int, r3: int, C: int) -> int:
+def scatter_vmem_bytes(N: int, r3: int, C: int,
+                       ext_counts: bool = False) -> int:
     """Estimated kernel VMEM footprint (lane-padded), for gating."""
-    lanes = _round_up(C + 1, 128)
+    lanes = _round_up(C + (0 if ext_counts else 1), 128)
     acc = _UNROLL * (r3 + 8) * lanes * 4
     feat = _round_up(N, 8) * lanes * 4
     out = r3 * _round_up(C, 128) * 2
@@ -150,6 +167,7 @@ def avg_voxelize_scatter_pallas(
     r3: int,
     interpret: bool = None,
     folded_r: int = 0,
+    counts: jnp.ndarray = None,
 ) -> jnp.ndarray:
     """Scatter-mean features into a flat voxel grid.
 
@@ -164,16 +182,28 @@ def avg_voxelize_scatter_pallas(
       folded_r: 0 emits [B, r3, C]; r emits the lane-full folded layout
         [B, r^2, r*C] (rows (x, y), lanes (z, c)) — check
         :func:`folded_scatter_ok` first.
+      counts: optional [B, r^2, r] f32 per-voxel point counts in the
+        folded layout, pre-clamped to >= 1 (folded_r mode only). When
+        given, the in-kernel ones column is dropped so the accumulator
+        lane tile stays at C — required for C=128, where C+1 rounds to
+        256 lanes and blows the VMEM gate.
     Returns:
       [B, r3, C] (or [B, r^2, r*C]) per-voxel means in features.dtype
       (empty voxels -> 0).
     """
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
+    ext_counts = counts is not None
+    assert not ext_counts or folded_r, "external counts need folded mode"
     B, N, C = features.shape
     n_pad = _round_up(N, 8 * _UNROLL)
-    ones = jnp.ones((B, N, 1), jnp.float32)
-    feat = jnp.concatenate([features.astype(jnp.float32), ones], axis=-1)
+    if ext_counts:
+        feat = features.astype(jnp.float32)
+    else:
+        ones = jnp.ones((B, N, 1), jnp.float32)
+        feat = jnp.concatenate(
+            [features.astype(jnp.float32), ones], axis=-1)
+    fl = feat.shape[-1]
     if n_pad != N:
         feat = jnp.pad(feat, ((0, 0), (0, n_pad - N), (0, 0)))
         idx = jnp.pad(idx, ((0, 0), (0, n_pad - N)), constant_values=r3)
@@ -185,30 +215,37 @@ def avg_voxelize_scatter_pallas(
     else:
         out_rows, out_lanes = r3, C
     kernel = partial(_scatter_kernel, n_pts=n_pad, r3=r3, C=C,
-                     folded_r=folded_r)
+                     folded_r=folded_r, ext_counts=ext_counts)
+    in_specs = [
+        pl.BlockSpec((1, 1, n_pad), lambda b: (b, 0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, n_pad, fl), lambda b: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [idx, feat]
+    if ext_counts:
+        in_specs.append(
+            pl.BlockSpec((1, r3 // folded_r, folded_r),
+                         lambda b: (b, 0, 0), memory_space=pltpu.VMEM))
+        operands.append(counts.astype(jnp.float32))
     out = pl.pallas_call(
         kernel,
         grid=(B,),
-        in_specs=[
-            pl.BlockSpec((1, 1, n_pad), lambda b: (b, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, n_pad, C + 1), lambda b: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, out_rows, out_lanes),
                                lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, out_rows, out_lanes),
                                        features.dtype),
         scratch_shapes=[
-            pltpu.VMEM((r3 + 8, C + 1), jnp.float32)
+            pltpu.VMEM((r3 + 8, fl), jnp.float32)
             for _ in range(_UNROLL)
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 2**20,
         ),
         interpret=interpret,
-    )(idx, feat)
+    )(*operands)
     return out
 
 

@@ -79,9 +79,9 @@ def _kernel(xf_ref, k_ref, b_ref, *rest,
             then out_ref [1, R*R, Z*cout], scratch r0/up/dn
             ([R*R + 2R, (Z+2)*cin] — the z-rolled copy and its two
             dy-shifted, y-edge-masked variants), and, with GN, accf
-            ([R*R, Z*cout] f32 — the pre-norm accumulator, kept in
-            VMEM so the GroupNorm statistics normalize the exact f32
-            conv output, never a bf16 round-trip).
+            ([R*R, Z*cout] compute dtype — the pre-norm accumulator
+            staged in VMEM for the affine pass; the statistics
+            accumulate from the f32 acc BEFORE the store).
 
     With ``gn_groups`` the kernel applies GroupNorm (+ optional swish)
     before the output store: per-(cloud, group) statistics accumulate
@@ -146,7 +146,12 @@ def _kernel(xf_ref, k_ref, b_ref, *rest,
             )
         acc = acc + b_ref[0]
         if gn_groups:
-            accf_ref[:, pl.ds(_LANES * k, _LANES)] = acc
+            # stats accumulate from the f32 acc BEFORE the store, so
+            # the scratch can hold the compute dtype (bf16 in-model:
+            # halves the second pass's VMEM traffic; the affine result
+            # is bf16-rounded at the output store anyway)
+            accf_ref[:, pl.ds(_LANES * k, _LANES)] = acc.astype(
+                accf_ref.dtype)
             s1 = s1 + jnp.sum(acc, axis=0, keepdims=True)
             s2 = s2 + jnp.sum(acc * acc, axis=0, keepdims=True)
         else:
@@ -170,7 +175,8 @@ def _kernel(xf_ref, k_ref, b_ref, *rest,
         ga = gamma_ref[0] * rstd                         # [1, 128]
         be = beta_ref[0] - mean * ga
         for k in range(Z // P):
-            y = accf_ref[:, pl.ds(_LANES * k, _LANES)] * ga + be
+            y = accf_ref[:, pl.ds(_LANES * k, _LANES)].astype(
+                jnp.float32) * ga + be
             if gn_act:
                 y = y * jax.nn.sigmoid(y)  # swish
             out_ref[0, :, pl.ds(_LANES * k, _LANES)] = y.astype(out_dtype)
@@ -235,7 +241,7 @@ def _conv_fwd(x, kernel, bias, gamma, beta, interpret,
             pl.BlockSpec((1, 1, _LANES), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ]
-        scratch.append(pltpu.VMEM((R * R, Z * cout), jnp.float32))
+        scratch.append(pltpu.VMEM((R * R, Z * cout), cdt))
 
     out = pl.pallas_call(
         partial(_kernel, R=R, Z=Z, P=P, cin=cin, cout=cout, K=K,

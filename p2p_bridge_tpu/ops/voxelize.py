@@ -76,20 +76,45 @@ def avg_voxelize(
             folded_scatter_ok, scatter_vmem_bytes,
         )
 
+        # external counts when C fills whole lane tiles (C % 128 == 0):
+        # the in-kernel ones column would round the accumulator lane
+        # tile to C + 128 and blow the VMEM gate (PVDL's C=128 grids)
+        ext = C % 128 == 0
+        if (
+            folded_scatter_ok(r, C)
+            and scatter_vmem_bytes(N, r3, C, ext_counts=ext)
+            <= 100 * 2**20
+        ):
+            # folded emission [B, r^2, r*C]: the reshape back to 5-D
+            # below is a pure row-major reshape, and consumers that
+            # immediately re-fold (the windowed conv, devoxelize)
+            # cancel the pair in XLA — the grid never pays the
+            # [*, C] -> [*, r*C] tiled-layout relayout
+            idx_fold = (
+                vox_coords[..., 2] * (r * r)
+                + vox_coords[..., 0] * r + vox_coords[..., 1]
+            )
+            counts = None
+            if ext:
+                # factorized one-hot count einsum, directly in the
+                # folded (xy, z) layout (~0.1 ms on the MXU)
+                idx_xy = vox_coords[..., 0] * r + vox_coords[..., 1]
+                oh_xy = (
+                    idx_xy[..., None]
+                    == jnp.arange(r * r, dtype=idx_xy.dtype)
+                ).astype(jnp.bfloat16)
+                oh_z = (
+                    vox_coords[..., 2:3]
+                    == jnp.arange(r, dtype=vox_coords.dtype)
+                ).astype(jnp.bfloat16)
+                counts = jax.lax.stop_gradient(jnp.maximum(jnp.einsum(
+                    "bnv,bnk->bvk", oh_xy, oh_z,
+                    preferred_element_type=jnp.float32,
+                ), 1.0))
+            return _avg_voxelize_pallas_folded(
+                features, idx_fold, counts, r3, r
+            ).reshape(B, r, r, r, C)
         if scatter_vmem_bytes(N, r3, C) <= 100 * 2**20:
-            if folded_scatter_ok(r, C):
-                # folded emission [B, r^2, r*C]: the reshape back to 5-D
-                # below is a pure row-major reshape, and consumers that
-                # immediately re-fold (the windowed conv, devoxelize)
-                # cancel the pair in XLA — the grid never pays the
-                # [*, C] -> [*, r*C] tiled-layout relayout
-                idx_fold = (
-                    vox_coords[..., 2] * (r * r)
-                    + vox_coords[..., 0] * r + vox_coords[..., 1]
-                )
-                return _avg_voxelize_pallas_folded(
-                    features, idx_fold, r3, r
-                ).reshape(B, r, r, r, C)
             return _avg_voxelize_pallas(features, idx, r3).reshape(
                 B, r, r, r, C
             )
@@ -201,19 +226,22 @@ def _avp_bwd(r3, res, g):
 _avg_voxelize_pallas.defvjp(_avp_fwd, _avp_bwd)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def _avg_voxelize_pallas_folded(features, idx_fold, r3, r):
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _avg_voxelize_pallas_folded(features, idx_fold, counts, r3, r):
     """Folded-layout VMEM scatter voxelize ([B, r^2, r*C] out, z-major
-    rows in) with the same CUDA backward semantics as the flat path."""
+    rows in) with the same CUDA backward semantics as the flat path.
+    ``counts`` (optional, [B, r^2, r] f32 >= 1) switches the kernel to
+    external-counts mode (see avg_voxelize_scatter_pallas)."""
     from .pallas.voxelize_kernel import avg_voxelize_scatter_pallas
 
     return avg_voxelize_scatter_pallas(features, idx_fold, r3,
-                                       folded_r=r)
+                                       folded_r=r, counts=counts)
 
 
-def _avpf_fwd(features, idx_fold, r3, r):
+def _avpf_fwd(features, idx_fold, counts, r3, r):
     proto = jnp.zeros((0,), features.dtype)
-    return (_avg_voxelize_pallas_folded(features, idx_fold, r3, r),
+    return (_avg_voxelize_pallas_folded(features, idx_fold, counts,
+                                        r3, r),
             (idx_fold, proto))
 
 
@@ -228,7 +256,8 @@ def _avpf_bwd(r3, r, res, g):
     z = idx_fold // r2
     xy = idx_fold - z * r2
     idx = xy * r + z
-    return _avp_bwd(r3, (idx, proto), g.reshape(B, r3, C))[:1] + (None,)
+    return _avp_bwd(r3, (idx, proto), g.reshape(B, r3, C))[:1] + (
+        None, None)
 
 
 _avg_voxelize_pallas_folded.defvjp(_avpf_fwd, _avpf_bwd)
