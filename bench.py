@@ -38,6 +38,7 @@ any timing (the CPU test suite can only exercise interpret mode).
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
@@ -155,18 +156,79 @@ def main():
 
     # forward cost via XLA cost analysis: the sampler evaluates the
     # U-Net once per step; patching/recombination FLOPs are excluded, so
-    # this MFU is a model-FLOPs lower bound
+    # this MFU is a model-FLOPs lower bound.
+    # The lowering is traced with the conv policy FORCED to the XLA std
+    # formulation: cost_analysis() cannot see FLOPs inside Pallas custom
+    # calls, so lowering the default (wconv Pallas) program collapsed the
+    # field from 3.21 to 1.10 TFLOP in BENCH_r04 while the model was
+    # unchanged (VERDICT r4 weak #2). Useful model FLOPs are
+    # formulation-independent — std is the accounting formulation.
     B_pat = 73  # 3 * 50000 / 2048 seeds -> patches per object
     xp = jnp.zeros((B_pat, cfg.data.npoints, 3))
     tp = jnp.zeros((B_pat,))
     fwd = jax.jit(lambda p, x, t: model.apply(p, x, t, None, True))
-    ca = fwd.lower(params, xp, tp).compile().cost_analysis()
+    conv_env = os.environ.get("P2PB_CONV3D")
+    os.environ["P2PB_CONV3D"] = "std"
+    try:
+        ca = fwd.lower(params, xp, tp).compile().cost_analysis()
+    finally:
+        if conv_env is None:
+            os.environ.pop("P2PB_CONV3D", None)
+        else:
+            os.environ["P2PB_CONV3D"] = conv_env
     if isinstance(ca, list):
         ca = ca[0]
     fwd_tflop = float(ca.get("flops", 0.0)) / 1e12
     model_tflop = fwd_tflop * 5 * N_OBJECTS
     peak = peak_flops(jax.devices()[0])
     mfu = model_tflop * 1e12 / dev_s / peak if peak else None
+
+    # room flagship (VERDICT r4 #7): conditioned PVDL_SNPP sampler at the
+    # reference room protocol — B=32 patches x 4096 pts, 384-ch
+    # RGB+DINO conditioning, 10 diffusion steps (denoise_room.py:303-307,
+    # scripts/denoise_snpp.sh:4). Measured fresh each round so the row
+    # tracks the current kernels instead of a stale BASELINE number.
+    room_pps = room_best = None
+    try:
+        rcfg = Config.load("configs/PVDL_SNPP.yaml")
+        rmodel = build_unet_from_config(rcfg)
+        rbridge = P2PBridge.from_config(rcfg, rmodel)
+        Br, Nr = 32, int(rcfg.data.npoints)
+        fc = int(rcfg.model.get("extra_feature_channels", 0) or 0)
+        xr = jnp.asarray(
+            rng.normal(size=(Br, Nr, 3)) * 0.3, jnp.float32
+        )
+        featr = (
+            jnp.asarray(rng.normal(size=(Br, Nr, fc)), jnp.float32)
+            if fc
+            else None
+        )
+        rinit = jax.jit(
+            lambda k: rmodel.init(
+                {"params": k},
+                jnp.zeros((1, Nr, 3)),
+                jnp.zeros((1,)),
+                None if featr is None else jnp.zeros((1, Nr, fc)),
+                True,
+            )
+        )
+        rparams = rinit(jax.random.key(1))
+
+        def run_room():
+            return rbridge.sample(
+                rparams, xr, x_cond=featr, steps=10, log_count=1
+            )["x_pred"]
+
+        np.asarray(run_room())  # warmup/compile
+        rtimes = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            np.asarray(run_room())
+            rtimes.append(time.perf_counter() - t0)
+        room_best = min(rtimes)
+        room_pps = Br * Nr / room_best
+    except Exception:  # never fail the headline on the secondary row
+        pass
 
     pps = total_points / best
     print(
@@ -186,6 +248,18 @@ def main():
                 "device_seconds_trace": round(dev_s, 4),
                 "mfu_model_flops": round(mfu, 4) if mfu else None,
                 "tflop_per_forward_b73": round(fwd_tflop, 3),
+                "tflop_note": "std-formulation XLA cost analysis; the"
+                " default program runs Pallas wconv kernels whose FLOPs"
+                " cost_analysis cannot see (BENCH_r04's 1.102 was that"
+                " artifact, not a model change)",
+                "room_snpp_points_per_sec": (
+                    round(room_pps, 1) if room_pps else None
+                ),
+                "room_seconds_per_batch": (
+                    round(room_best, 3) if room_best else None
+                ),
+                "room_protocol": "PVDL_SNPP 118.6M params, B=32 x 4096"
+                " pts, 384-ch conditioning, 10 steps",
                 "recombine": "bucketed_per_patch_fps",
                 "objects_per_measurement": N_OBJECTS,
                 "steady_batches": R_STEADY,

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import math
 import os
+import warnings
 from typing import Optional
 
 import jax
@@ -323,8 +324,14 @@ def pick_conv3d_mode(cin: int, cout: int, Z: int,
             if not rule:
                 continue
             if "=" in rule:
-                shape, m = rule.split("=")
+                shape, m = rule.split("=", 1)
                 want = shape.strip().split("x")
+                if len(want) != 2 or not all(w.strip().isdigit() for w in want):
+                    warnings.warn(
+                        f"P2PB_CONV3D: ignoring malformed rule {rule!r} "
+                        "(expected 'CINxCOUT=mode')"
+                    )
+                    continue
                 if int(want[0]) == cin and int(want[1]) == cout:
                     return m.strip()
             else:

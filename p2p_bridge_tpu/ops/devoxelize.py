@@ -78,19 +78,29 @@ def _devox_windowed_tpu(grid, coords, resolution, with_mean,
     flag = jnp.take_along_axis(flags_s, inv, axis=1) > 0
 
     # exact residual: recompute up to R flagged points per cloud with a
-    # full-window pass (flag count is ~0 on sorted real data; R bounds
-    # the adversarial case — beyond R the windowed result would be kept,
-    # so R is sized to the worst tile)
+    # full-window pass (flag count is ~0 on sorted real data). When a
+    # cloud flags MORE than R points, the rare lax.cond branch recomputes
+    # every flagged point with a full (non-windowed) pass instead — the
+    # windowed result is never silently kept (advisor r4 finding).
     R = 256
-    score = flag.astype(jnp.int32) * (N + 1) - iota
-    _, ridx = jax.lax.top_k(score, R)
-    rcoords = jnp.take_along_axis(coords, ridx[..., None], axis=1)
-    rout = trilinear_devoxelize_pallas(grid, rcoords, r, interpret)
-    rmask = jnp.take_along_axis(flag, ridx, axis=1)
-    cur = jnp.take_along_axis(out, ridx[..., None], axis=1)
-    new = jnp.where(rmask[..., None], rout, cur)
-    b_ix = jnp.arange(B, dtype=jnp.int32)[:, None]
-    out = out.at[b_ix, ridx].set(new)
+    n_flag = jnp.max(jnp.sum(flag.astype(jnp.int32), axis=1))
+
+    def _residual(out):
+        score = flag.astype(jnp.int32) * (N + 1) - iota
+        _, ridx = jax.lax.top_k(score, R)
+        rcoords = jnp.take_along_axis(coords, ridx[..., None], axis=1)
+        rout = trilinear_devoxelize_pallas(grid, rcoords, r, interpret)
+        rmask = jnp.take_along_axis(flag, ridx, axis=1)
+        cur = jnp.take_along_axis(out, ridx[..., None], axis=1)
+        new = jnp.where(rmask[..., None], rout, cur)
+        b_ix = jnp.arange(B, dtype=jnp.int32)[:, None]
+        return out.at[b_ix, ridx].set(new)
+
+    def _full(out):
+        full = trilinear_devoxelize_pallas(grid, coords, r, interpret)
+        return jnp.where(flag[..., None], full, out)
+
+    out = jax.lax.cond(n_flag <= R, _residual, _full, out)
     if with_mean:
         return out, res[2]
     return out

@@ -19,6 +19,7 @@ match the CUDA kernel: the high corner only steps when frac > 0.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -27,6 +28,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _LANES = 128
+
+# z-combine override ("mxu"|"vpu"; empty = per-shape measured default).
+# Read once at import: env reads are invisible to the jit cache key, so a
+# mid-process change after a shape compiled would silently not apply.
+_ZCOMBINE_ENV = os.environ.get("P2PB_DEVOX_ZC", "")
 
 
 def _round_up(v, m):
@@ -200,16 +206,17 @@ def trilinear_devoxelize_pallas(
         g2 = grid.astype(jnp.bfloat16).reshape(B, r * r, r * C)
         grid_spec = pl.BlockSpec((1, r * r, r * C), lambda b, t: (b, 0, 0),
                                  memory_space=pltpu.VMEM)
-    import os
-
     # measured (round 4, B=73): the MXU block-diag z-combine wins when
     # C < 64 (the VPU chunk loop relayouts every misaligned slice);
-    # at C >= 64 the slices are cheap and the extra matmul loses
+    # at C >= 64 the slices are cheap and the extra matmul loses.
+    # NOTE: P2PB_DEVOX_ZC is read ONCE at import (module constant below)
+    # because trace-time env reads are not part of the jit cache key —
+    # set it before the process imports this module (advisor r4 finding).
     zc_default = "mxu" if C < 64 else "vpu"
     kernel = partial(_devox_kernel, r=r, C=C, tn=tn,
                      win=window if windowed else None,
                      fold_inside=fold_inside,
-                     zcombine=os.environ.get("P2PB_DEVOX_ZC", zc_default))
+                     zcombine=_ZCOMBINE_ENV or zc_default)
     out_specs = [pl.BlockSpec((1, tn, C), lambda b, t: (b, t, 0),
                               memory_space=pltpu.VMEM)]
     out_shape = [jax.ShapeDtypeStruct((B, n_pad, C), grid.dtype)]

@@ -32,7 +32,9 @@ import os
 
 # independent accumulators: breaks the serial RMW dependency chain.
 # 4 measured best in round 3; env knob for A/B (each extra chain costs
-# an [r3 + 8, C + 1] f32 VMEM accumulator).
+# an [r3 + 8, C + 1] f32 VMEM accumulator). Read ONCE at import — env
+# reads are invisible to the jit cache key, so set it before this module
+# is imported (changing it mid-process has no effect on compiled shapes).
 _UNROLL = int(os.environ.get("P2PB_VOX_UNROLL", "4"))
 
 _LANES = 128

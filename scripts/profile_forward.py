@@ -70,7 +70,7 @@ def build_programs(config="PVDS_PUNet", batch=None):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("what", nargs="?", default="fwd",
-                    choices=["fwd", "sampler"])
+                    choices=["fwd", "sampler", "train"])
     ap.add_argument("--config", default="PVDS_PUNet")
     ap.add_argument("--batch", type=int, default=None)
     ap.add_argument("--topk", type=int, default=22)
@@ -85,6 +85,86 @@ def main():
     cfg, model, bridge, params, x, t, feat = build_programs(
         args.config, args.batch)
     B, N = x.shape[0], x.shape[1]
+
+    if args.what == "train":
+        # full train step at the training protocol (VERDICT r4 #4: the
+        # train step never had its own profiling round): fwd+bwd+clip+
+        # AdamW+EMA with the fused auction-EMD PUNet alignment, bs from
+        # the config (PVDS_PUNet: 32). Under grad the conv policy is the
+        # best-XLA composition (wconv's custom-VJP fwd rule), so this
+        # profiles the REAL training program.
+        from p2p_bridge_tpu.parallel.train_step import (
+            init_train_state,
+            make_optimizer,
+            make_train_step,
+        )
+
+        bs = args.batch or int(cfg.training.bs)
+        rng_np = np.random.default_rng(1)
+        clean = jnp.asarray(
+            rng_np.normal(size=(bs, N, 3)) * 0.3, jnp.float32)
+        noisy = clean + 0.02 * jnp.asarray(
+            rng_np.normal(size=(bs, N, 3)), jnp.float32)
+        batch = {"x_gt": clean, "x_start": noisy}
+        if feat is not None:
+            batch["x_cond"] = jnp.asarray(
+                rng_np.normal(size=(bs, N, feat.shape[-1])), jnp.float32)
+        optimizer = make_optimizer(cfg)
+        state = init_train_state(params, optimizer, use_ema=True)
+        align_cfg = (
+            {"eps": 0.01, "iters": 100}
+            if cfg.data.dataset == "PUNet"
+            else None
+        )
+        step_fn = make_train_step(
+            bridge, optimizer, grad_clip=1.0, accumulation_steps=1,
+            ema_decay=0.999, align_cfg=align_cfg)
+        rng0 = jax.random.key(0)
+
+        def one(st, xg, xs):
+            st2, m = step_fn(st, rng0, dict(batch, x_gt=xg, x_start=xs))
+            # consume every metric so nothing is DCE'd out of the profile
+            return st2, (m["loss"] + m["grad_norm"] + m["param_norm"])
+
+        jone = jax.jit(one)
+        compiled = jone.lower(state, clean, noisy).compile()
+        ca = compiled.cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0))
+        bytes_hbm = float(ca.get("bytes accessed", 0.0))
+
+        K = args.iters
+
+        @jax.jit
+        def scanned(st, xg, xs):
+            def body(c, i):
+                st, acc = c
+                st2, v = one(st, xg + i * 1e-6, xs + i * 1e-6)
+                return (st2, acc + v), None
+            (st, acc), _ = jax.lax.scan(
+                body, (st, jnp.float32(0.0)),
+                jnp.arange(K, dtype=jnp.float32))
+            return acc
+
+        np.asarray(scanned(state, clean, noisy))  # compile+warm
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            np.asarray(scanned(state, clean, noisy))
+            times.append(time.perf_counter() - t0)
+        per_iter = (min(times) - TUNNEL_LATENCY_S) / K
+        mfu = flops / per_iter / peak if peak else None
+
+        trace_dir = "/tmp/p2pb_trace"
+        os.system(f"rm -rf {trace_dir}")
+        with jax.profiler.trace(trace_dir):
+            np.asarray(scanned(state, clean, noisy))
+
+        B, N = bs, N  # header shows the training batch
+        emit_report(args, dev, K, per_iter, flops, bytes_hbm, mfu,
+                    trace_dir, B, N)
+        return
 
     if args.what == "fwd":
         def one(p, x, t):
@@ -131,6 +211,12 @@ def main():
     with jax.profiler.trace(trace_dir):
         np.asarray(scanned(params, x, t))
 
+    emit_report(args, dev, K, per_iter, flops, bytes_hbm, mfu,
+                trace_dir, B, N)
+
+
+def emit_report(args, dev, K, per_iter, flops, bytes_hbm, mfu,
+                trace_dir, B, N):
     dev_rows = device_op_table(trace_dir)
     total_us = sum(r["self_us"] for r in dev_rows)
 

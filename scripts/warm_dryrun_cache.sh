@@ -4,10 +4,11 @@
 # fwd+bwd+opt train step costs ~2.5-5 min of XLA:CPU compile on this
 # 1-core host; with a warmed cache the compile is a ~seconds cache hit
 # and the dryrun total is dominated by executing one step on 8
-# time-sliced virtual devices (~90 s at the default N=1024). Run this
-# after ANY change to the model/train-step code and before ending a
-# session (the cache dir .cache/jax_cpu is untracked and does not
-# survive round snapshots).
+# time-sliced virtual devices. Measured at the default N=512: cold 6m23
+# (writes the cache), warm 4m49 under heavy contention / ~2 min idle
+# (RUNBOOK_r4.md). Run this after ANY change to the model/train-step
+# code and before ending a session (the cache dir .cache/jax_cpu is
+# untracked and does not survive round snapshots).
 #
 # Usage: scripts/warm_dryrun_cache.sh [n_devices]
 set -eu
