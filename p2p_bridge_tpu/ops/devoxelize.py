@@ -38,6 +38,10 @@ def _devox_window(resolution: int) -> int:
     whole-forward regression 60.5 -> 66.8 ms. Kept opt-in for callers
     whose points are ALREADY x-sorted (no permutation needed).
     Env override: P2PB_DEVOX_WIN=<cols> (0 disables; default 0).
+    Exactness: out-of-window points are recomputed by a residual pass
+    (up to 256 flagged points/cloud); beyond that a lax.cond fallback
+    recomputes ALL flagged points full-window, so results are exact for
+    every input distribution.
     """
     env = os.environ.get("P2PB_DEVOX_WIN", "")
     if env:
